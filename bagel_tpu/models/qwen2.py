@@ -1,0 +1,411 @@
+"""Qwen2 Mixture-of-Transformer-experts (MoT) decoder, TPU-native.
+
+Re-design of the reference's packed NaViT Qwen2 (qwen2_navit.py:236-1188):
+
+- All state is a pytree of stacked per-layer weights; the 28-layer stack runs
+  under one `lax.scan` (fast compile, uniform GSPMD sharding).
+- The reference's scatter-merged flat KV cache + Python index lists
+  (qwen2_navit.py:341-370, 559-574) become a preallocated append-only buffer
+  `[layers, B, max_len, kv_heads, head_dim]` with a per-row length counter.
+  Correctness note: later blocks always see earlier cache entries as fully
+  visible (causality only constrains *within* a new block), so KV write order
+  inside a past block never affects results — which licenses the layout
+  change below.
+- MoT expert selection is deterministic by token modality. At inference the
+  und (text/ViT) tokens and gen (VAE latent) tokens of a block are kept in
+  *separate contiguous slices* `[0:und_len) / [und_len:T)` so each expert
+  runs only its own matmuls — no gathers, no 2x dense waste (the reference
+  scatters through index_put_, qwen2_navit.py:522-548). Slice order is
+  irrelevant to attention because gen blocks are non-causal and every token
+  of an image shares one RoPE position id (bagel.py:592).
+- Training uses the dense dual-expert + select formulation over the packed
+  sequence (both experts on all tokens, `where` by modality mask): exact
+  semantics, MXU-friendly; a grouped-matmul Pallas kernel can replace it
+  later if the 2x projection FLOPs ever dominate.
+
+Three layer variants map to the reference registry (qwen2_navit.py:936-940):
+layer_module = "dense" | "moe" (shared attn, dual FFN) | "mot" (dual attn
+projections/norms + dual FFN, shared attention).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from bagel_tpu.configs import Qwen2Config
+from bagel_tpu.ops.attention import cache_block_mask, dot_attention
+from bagel_tpu.ops.norms import rms_norm
+from bagel_tpu.ops.rope import apply_rope, rope_cos_sin
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class KVCache:
+    """Append-only KV buffer. k/v: [L, B, S_max, KH, D]; length: [B] int32."""
+
+    k: jax.Array
+    v: jax.Array
+    length: jax.Array
+
+    @property
+    def max_len(self) -> int:
+        return self.k.shape[2]
+
+    @property
+    def batch(self) -> int:
+        return self.k.shape[1]
+
+
+def kv_cache_init(
+    cfg: Qwen2Config, batch: int, max_len: int, dtype=jnp.bfloat16
+) -> KVCache:
+    shape = (
+        cfg.num_hidden_layers,
+        batch,
+        max_len,
+        cfg.num_key_value_heads,
+        cfg.head_dim,
+    )
+    return KVCache(
+        k=jnp.zeros(shape, dtype),
+        v=jnp.zeros(shape, dtype),
+        length=jnp.zeros((batch,), jnp.int32),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Parameter initialization
+# ---------------------------------------------------------------------------
+
+
+def _dense(key, d_in, d_out, dtype, bias: bool, std=0.02):
+    wkey, _ = jax.random.split(key)
+    p = {"w": (jax.random.normal(wkey, (d_in, d_out), jnp.float32) * std).astype(dtype)}
+    if bias:
+        p["b"] = jnp.zeros((d_out,), dtype)
+    return p
+
+
+def _linear(x, p, precision=None):
+    out = jnp.dot(x, p["w"], preferred_element_type=jnp.float32,
+                  precision=precision)
+    if "b" in p:
+        out = out + p["b"].astype(jnp.float32)
+    return out.astype(x.dtype)
+
+
+def init_qwen2_params(
+    key: jax.Array, cfg: Qwen2Config, dtype=jnp.bfloat16
+) -> dict:
+    """Random-init parameter pytree. Per-layer weights are stacked on axis 0.
+
+    Gen-expert weights start as copies of und weights, mirroring init_moe
+    (qwen2_navit.py:1107-1111).
+    """
+    L = cfg.num_hidden_layers
+    d = cfg.hidden_size
+    hd = cfg.head_dim
+    qd = cfg.num_attention_heads * hd
+    kvd = cfg.num_key_value_heads * hd
+    f = cfg.intermediate_size
+    keys = jax.random.split(key, 16)
+
+    def stacked(key, d_in, d_out, bias):
+        ks = jax.random.split(key, L)
+        return jax.vmap(lambda k: _dense(k, d_in, d_out, dtype, bias))(ks)
+
+    attn = {
+        "q": stacked(keys[0], d, qd, True),
+        "k": stacked(keys[1], d, kvd, True),
+        "v": stacked(keys[2], d, kvd, True),
+        "o": stacked(keys[3], qd, d, False),
+    }
+    if cfg.qk_norm:
+        attn["q_norm"] = jnp.ones((L, hd), jnp.float32)
+        attn["k_norm"] = jnp.ones((L, hd), jnp.float32)
+    mlp = {
+        "gate": stacked(keys[4], d, f, False)["w"],
+        "up": stacked(keys[5], d, f, False)["w"],
+        "down": stacked(keys[6], f, d, False)["w"],
+    }
+    layers = {
+        "attn": attn,
+        "mlp": mlp,
+        "input_ln": jnp.ones((L, d), jnp.float32),
+        "post_ln": jnp.ones((L, d), jnp.float32),
+    }
+    if cfg.layer_module == "mot":
+        gen_attn = jax.tree.map(lambda x: x, attn)  # copy of und weights
+        layers["attn_gen"] = gen_attn
+    if cfg.use_moe:
+        layers["mlp_gen"] = jax.tree.map(lambda x: x, mlp)
+    if cfg.layer_module == "mot":
+        layers["input_ln_gen"] = jnp.ones((L, d), jnp.float32)
+        layers["post_ln_gen"] = jnp.ones((L, d), jnp.float32)
+
+    params = {
+        "embed": (
+            jax.random.normal(keys[7], (cfg.vocab_size, d), jnp.float32) * 0.02
+        ).astype(dtype),
+        "layers": layers,
+        "final_norm": jnp.ones((d,), jnp.float32),
+        "lm_head": _dense(keys[8], d, cfg.vocab_size, dtype, False),
+    }
+    if cfg.use_moe:
+        params["final_norm_gen"] = jnp.ones((d,), jnp.float32)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Layer forward (inference, block-extend over KV cache)
+# ---------------------------------------------------------------------------
+
+
+def _split_apply(x, und_len: int, fn_und, fn_gen):
+    """Apply fn_und to x[:, :und_len], fn_gen to the rest; concat results.
+
+    und_len is a static python int, so the slices are static shapes; when the
+    block is single-expert (und_len == 0 or T) only one matmul is emitted.
+    """
+    t = x.shape[1]
+    if und_len >= t:
+        return fn_und(x)
+    if und_len <= 0:
+        return fn_gen(x)
+    a = fn_und(x[:, :und_len])
+    b = fn_gen(x[:, und_len:])
+    return jnp.concatenate([a, b], axis=1)
+
+
+def _layer_extend(
+    cfg: Qwen2Config,
+    und_len: int,
+    causal: bool,
+    x: jax.Array,  # [B, T, d]
+    lp: dict,  # one layer's params
+    k_buf: jax.Array,  # [B, S, KH, D]
+    v_buf: jax.Array,
+    past_len: jax.Array,  # [B]
+    q_valid: jax.Array,  # [B]
+    cos: jax.Array,  # [B, T, D]
+    sin: jax.Array,
+    precision=None,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """One decoder layer over a new token block. Returns (x, k_buf, v_buf)
+    with the new block's K/V written at [past_len, past_len+T)."""
+    b, t, d = x.shape
+    h = cfg.num_attention_heads
+    kh = cfg.num_key_value_heads
+    hd = cfg.head_dim
+    mot = cfg.layer_module == "mot"
+
+    attn_u = lp["attn"]
+    attn_g = lp["attn_gen"] if mot else lp["attn"]
+    ln_u = lp["input_ln"]
+    ln_g = lp["input_ln_gen"] if mot else lp["input_ln"]
+
+    res = x
+    hqkv = _split_apply(
+        x, und_len,
+        lambda xu: rms_norm(xu, ln_u, cfg.rms_norm_eps),
+        lambda xg: rms_norm(xg, ln_g, cfg.rms_norm_eps),
+    )
+
+    def proj(attn, name, width):
+        return lambda xx: _linear(xx, attn[name], precision).reshape(
+            xx.shape[0], xx.shape[1], width, hd
+        )
+
+    q = _split_apply(hqkv, und_len, proj(attn_u, "q", h), proj(attn_g, "q", h))
+    k = _split_apply(hqkv, und_len, proj(attn_u, "k", kh), proj(attn_g, "k", kh))
+    v = _split_apply(hqkv, und_len, proj(attn_u, "v", kh), proj(attn_g, "v", kh))
+
+    if cfg.qk_norm:
+        # fp32 QK-norm (reference keeps this in fp32 on the gen path,
+        # qwen2_navit.py:542-548)
+        def qknorm(z, w):
+            return rms_norm(z.astype(jnp.float32), w, cfg.rms_norm_eps)
+
+        q = _split_apply(
+            q, und_len,
+            lambda z: qknorm(z, attn_u["q_norm"]),
+            lambda z: qknorm(z, attn_g["q_norm"]),
+        )
+        k = _split_apply(
+            k, und_len,
+            lambda z: qknorm(z, attn_u["k_norm"]),
+            lambda z: qknorm(z, attn_g["k_norm"]),
+        )
+
+    q, k = apply_rope(q, k, cos, sin)
+    q = q.astype(k_buf.dtype)
+    k = k.astype(k_buf.dtype)
+    v = v.astype(v_buf.dtype)
+
+    # append block K/V at per-row offsets
+    def write(buf, new, off):
+        return lax.dynamic_update_slice(buf, new, (off, 0, 0))
+
+    k_buf = jax.vmap(write)(k_buf, k, past_len)
+    v_buf = jax.vmap(write)(v_buf, v, past_len)
+
+    mask = cache_block_mask(k_buf.shape[1], t, past_len, q_valid, causal)
+    att = dot_attention(q, k_buf, v_buf, mask=mask, precision=precision)
+    att = att.reshape(b, t, h * hd)
+
+    o = _split_apply(
+        att, und_len,
+        lambda z: _linear(z, attn_u["o"], precision),
+        lambda z: _linear(z, attn_g["o"], precision),
+    )
+    x = res + o.astype(res.dtype)
+
+    # FFN
+    res = x
+    mlp_u = lp["mlp"]
+    mlp_g = lp.get("mlp_gen", lp["mlp"])
+    pln_u = lp["post_ln"]
+    pln_g = lp["post_ln_gen"] if mot else lp["post_ln"]
+
+    def ffn(mlp, pln):
+        def f(z):
+            z = rms_norm(z, pln, cfg.rms_norm_eps)
+            gate = _linear(z, {"w": mlp["gate"]}, precision)
+            up = _linear(z, {"w": mlp["up"]}, precision)
+            return _linear(jax.nn.silu(gate) * up, {"w": mlp["down"]}, precision)
+
+        return f
+
+    m = _split_apply(x, und_len, ffn(mlp_u, pln_u), ffn(mlp_g, pln_g))
+    x = res + m.astype(res.dtype)
+    return x, k_buf, v_buf
+
+
+def llm_extend(
+    params: dict,
+    cfg: Qwen2Config,
+    embeds: jax.Array,  # [B, T, d] input embeddings for the new block
+    position_ids: jax.Array,  # [B, T] rope positions
+    cache: KVCache,
+    q_valid: jax.Array,  # [B] valid tokens in the block
+    *,
+    und_len: int,  # tokens [0:und_len) use the und expert, rest the gen expert
+    causal: bool,
+    update_cache: bool,
+    precision=None,
+) -> Tuple[jax.Array, KVCache]:
+    """Run the full decoder stack over one new block of tokens.
+
+    Subsumes the reference's forward_inference paths for text prefill
+    (und, causal — bagel.py:267-297), ViT blocks (und, full — :362-415),
+    VAE blocks (gen, full — :491-550), flow steps (gen, full, no cache
+    update — :757-833) and decode (und, causal, T=1 — :930-1000).
+
+    Returns final hidden states [B, T, d] (post final-norm, expert-selected)
+    and the updated cache (identical to input if update_cache=False).
+    """
+    cos, sin = rope_cos_sin(position_ids, cfg.head_dim, cfg.rope_theta)
+
+    layer_fn = partial(
+        _layer_extend, cfg, und_len, causal,
+        precision=precision,
+    )
+
+    def body(carry, xs):
+        x = carry
+        lp, k_buf, v_buf = xs
+        x, k_buf, v_buf = layer_fn(
+            x, lp, k_buf, v_buf, cache.length, q_valid, cos, sin
+        )
+        return x, (k_buf, v_buf)
+
+    x, (k_new, v_new) = lax.scan(
+        body, embeds, (params["layers"], cache.k, cache.v)
+    )
+
+    fin_u = params["final_norm"]
+    fin_g = params.get("final_norm_gen", fin_u)
+    x = _split_apply(
+        x, und_len,
+        lambda z: rms_norm(z, fin_u, cfg.rms_norm_eps),
+        lambda z: rms_norm(z, fin_g, cfg.rms_norm_eps),
+    )
+
+    if update_cache:
+        new_cache = KVCache(k=k_new, v=v_new, length=cache.length + q_valid)
+    else:
+        new_cache = cache
+    return x, new_cache
+
+
+def embed_tokens(params: dict, ids: jax.Array) -> jax.Array:
+    return params["embed"][ids]
+
+
+def lm_logits(params: dict, hidden: jax.Array, precision=None) -> jax.Array:
+    out = jnp.dot(
+        hidden, params["lm_head"]["w"],
+        preferred_element_type=jnp.float32, precision=precision,
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Greedy / sampled text decode as a scan (replaces the reference's Python
+# decode loop with host-side index bookkeeping, bagel.py:930-1000)
+# ---------------------------------------------------------------------------
+
+
+def decode_text(
+    params: dict,
+    cfg: Qwen2Config,
+    cache: KVCache,
+    start_tokens: jax.Array,  # [B]
+    position_ids: jax.Array,  # [B] rope position of the start token
+    *,
+    max_steps: int,
+    eos_id: int,
+    temperature: float = 1.0,
+    do_sample: bool = False,
+    rng: Optional[jax.Array] = None,
+    precision=None,
+) -> Tuple[jax.Array, KVCache]:
+    """Autoregressive decode, one jitted scan. Returns [B, max_steps] tokens
+    (eos-padded with eos_id after stop) and the final cache."""
+    b = start_tokens.shape[0]
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+
+    def step(carry, _):
+        cache, tok, pos, done, rng = carry
+        embeds = embed_tokens(params, tok)[:, None, :]
+        hidden, cache = llm_extend(
+            params, cfg, embeds, pos[:, None], cache,
+            jnp.ones((b,), jnp.int32),
+            und_len=1, causal=True, update_cache=True, precision=precision,
+        )
+        logits = lm_logits(params, hidden[:, 0], precision)
+        rng, sub = jax.random.split(rng)
+        if do_sample:
+            nxt = jax.random.categorical(sub, logits / temperature, axis=-1)
+        else:
+            nxt = jnp.argmax(logits, axis=-1)
+        nxt = nxt.astype(tok.dtype)
+        nxt = jnp.where(done, eos_id, nxt)
+        done = done | (nxt == eos_id)
+        return (cache, nxt, pos + 1, done, rng), nxt
+
+    done0 = jnp.zeros((b,), bool)
+    (cache, _, _, _, _), toks = lax.scan(
+        step,
+        (cache, start_tokens, position_ids, done0, rng),
+        None,
+        length=max_steps,
+    )
+    return toks.T, cache  # [B, max_steps]
