@@ -1,0 +1,519 @@
+"""Interleaved inference engine: understand / generate / edit / think.
+
+TPU-native replacement for the reference's InterleaveInferencer
+(inferencer.py:22-313) and the Bagel prepare_*/forward_* protocol
+(bagel.py:232-1000):
+
+- Sessions hold an append-only KV cache per context (cond / cfg_text /
+  cfg_img) instead of scatter-merged index lists; host-side bookkeeping is
+  just two integers (kv_len, rope position) per context.
+- Every device function has static shapes: text and image token counts are
+  bucketed, padded tokens are masked via per-row valid lengths. Image-block
+  layout is [start, end, tokens...] so real tokens always form a prefix
+  (order inside a non-causal block is attention-invariant; all tokens of an
+  image share one RoPE position — bagel.py:340,462,592).
+- The denoise loop is a jitted lax.scan; the reference runs its 1-3 CFG
+  forwards serially in Python per step (bagel.py:698-746,820-871) — here the
+  branches run as one batched forward, and the schedule is split into a
+  CFG-on phase and a CFG-off phase so steps outside cfg_interval pay for a
+  single branch.
+- Text decode is the jitted scan from models/qwen2.decode_text.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import List, Optional, Tuple, Union
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from bagel_tpu.configs import BagelConfig
+from bagel_tpu.models import qwen2
+from bagel_tpu.models.bagel import (
+    cfg_combine,
+    encode_vit_tokens,
+    latent_to_llm,
+    patchify_latent,
+    shifted_timesteps,
+    unpatchify_latent,
+)
+from bagel_tpu.models.qwen2 import KVCache, kv_cache_init
+from bagel_tpu.models.vae import vae_decode, vae_encode
+from bagel_tpu.ops.embeds import (
+    flattened_position_ids_extrapolate,
+    flattened_position_ids_interpolate,
+)
+
+VLM_THINK_SYSTEM_PROMPT = (
+    "You should first think about the reasoning process in the mind and "
+    "then provide the user with the answer. \n"
+    "The reasoning process is enclosed within <think> </think> tags, i.e. "
+    "<think> reasoning process here </think> answer here"
+)
+
+GEN_THINK_SYSTEM_PROMPT = (
+    "You should first think about the planning process in the mind and "
+    "then generate the image. \n"
+    "The planning process is enclosed within <think> </think> tags, i.e. "
+    "<think> planning process here </think> image here"
+)
+
+
+def _bucket(n: int, step: int = 32) -> int:
+    return max(step, -(-n // step) * step)
+
+
+@dataclasses.dataclass
+class GenContext:
+    """One conversation context (mirrors inferencer.py:31-37 gen_context)."""
+
+    cache: KVCache
+    kv_len: int = 0
+    rope: int = 0
+
+    def copy(self) -> "GenContext":
+        return GenContext(cache=self.cache, kv_len=self.kv_len, rope=self.rope)
+
+
+# ---------------------------------------------------------------------------
+# jitted device functions (cfg & shape-static args trigger specialization)
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _prefill_text(params, cfg: BagelConfig, cache, ids, pos, valid):
+    embeds = qwen2.embed_tokens(params["llm"], ids)
+    return qwen2.llm_extend(
+        params["llm"], cfg.llm, embeds, pos, cache, valid,
+        und_len=ids.shape[1], causal=True, update_cache=True,
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _prefill_vit(params, cfg: BagelConfig, cache, boundary_ids, patches,
+                 vit_pos, seg, rope_pos, valid):
+    """Understanding-image block: [start, end, vit tokens..., pad]."""
+    vit_emb = encode_vit_tokens(params, cfg, patches, vit_pos, seg)
+    tok_emb = qwen2.embed_tokens(params["llm"], boundary_ids)  # [2, d]
+    block = jnp.concatenate([tok_emb, vit_emb], axis=0)[None]
+    t = block.shape[1]
+    pos = jnp.full((1, t), rope_pos, jnp.int32)
+    return qwen2.llm_extend(
+        params["llm"], cfg.llm, block, pos, cache, valid,
+        und_len=t, causal=False, update_cache=True,
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _prefill_vae(params, cfg: BagelConfig, cache, boundary_ids, latents,
+                 lat_pos, rope_pos, valid, timestep):
+    """Generation-context image block (clean latents, t=0):
+    [start, end, vae tokens..., pad] with und_len=2 (bagel.py:491-550)."""
+    n = latents.shape[0]
+    t_vec = jnp.full((n,), timestep, jnp.float32)
+    lat_emb = latent_to_llm(params, cfg, latents, t_vec, lat_pos)
+    tok_emb = qwen2.embed_tokens(params["llm"], boundary_ids)
+    block = jnp.concatenate([tok_emb, lat_emb.astype(tok_emb.dtype)], axis=0)[None]
+    t = block.shape[1]
+    pos = jnp.full((1, t), rope_pos, jnp.int32)
+    return qwen2.llm_extend(
+        params["llm"], cfg.llm, block, pos, cache, valid,
+        und_len=2, causal=False, update_cache=True,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "cfg", "n_branches", "cfg_text_scale", "cfg_img_scale",
+        "cfg_renorm_type", "cfg_renorm_min",
+    ),
+)
+def _denoise_phase(
+    params,
+    cfg: BagelConfig,
+    x_t,  # [N, pd]
+    k_buf, v_buf, lengths,  # stacked caches [L, B, S, KH, D], [B]
+    branch_rope,  # [B] rope position per branch
+    lat_pos,  # [N]
+    boundary_ids,  # [2]
+    timesteps,  # [K]
+    dts,  # [K]
+    n_branches: int,
+    cfg_text_scale: float,
+    cfg_img_scale: float,
+    cfg_renorm_type: str,
+    cfg_renorm_min: float,
+):
+    """K denoise steps with n_branches CFG forwards batched together."""
+    n = x_t.shape[0]
+    b = n_branches
+    tok_emb = qwen2.embed_tokens(params["llm"], boundary_ids)  # [2, d]
+    pos = jnp.broadcast_to(branch_rope[:, None], (b, n + 2))
+    valid = jnp.full((b,), n + 2, jnp.int32)
+    cache = KVCache(k=k_buf, v=v_buf, length=lengths)
+
+    def step(x_t, tdt):
+        t, dt = tdt
+        t_vec = jnp.full((n,), t, jnp.float32)
+        lat_emb = latent_to_llm(params, cfg, x_t, t_vec, lat_pos)
+        block = jnp.concatenate([tok_emb, lat_emb.astype(tok_emb.dtype)], 0)
+        block = jnp.broadcast_to(block[None], (b,) + block.shape)
+        hidden, _ = qwen2.llm_extend(
+            params["llm"], cfg.llm, block, pos, cache, valid,
+            und_len=2, causal=False, update_cache=False,
+        )
+        v = jnp.dot(
+            hidden[:, 2:], params["llm2vae"]["w"],
+            preferred_element_type=jnp.float32,
+        ) + params["llm2vae"]["b"].astype(jnp.float32)
+        v_cond = v[0]
+        v_text = v[1] if b >= 2 else None
+        v_img = v[2] if b >= 3 else None
+        v_t = cfg_combine(
+            v_cond, v_text, v_img, cfg_text_scale, cfg_img_scale,
+            cfg_renorm_type, cfg_renorm_min,
+        )
+        return x_t - v_t * dt, None
+
+    x_t, _ = jax.lax.scan(step, x_t, (timesteps, dts))
+    return x_t
+
+
+class BagelEngine:
+    """User-facing session API (reference InterleaveInferencer parity)."""
+
+    def __init__(
+        self,
+        params,
+        cfg: BagelConfig,
+        tokenizer,
+        new_token_ids: dict,
+        max_kv: int = 8192,
+        vae_transform=None,
+        vit_transform=None,
+    ):
+        self.params = params
+        self.cfg = cfg
+        self.tokenizer = tokenizer
+        self.new_token_ids = new_token_ids
+        self.max_kv = max_kv
+        self.vae_transform = vae_transform
+        self.vit_transform = vit_transform
+        self.cache_dtype = params["llm"]["embed"].dtype
+        if cfg.interpolate_pos:
+            self._pos_ids = flattened_position_ids_interpolate
+        else:
+            self._pos_ids = flattened_position_ids_extrapolate
+
+    # -- context management -------------------------------------------------
+
+    def init_context(self) -> GenContext:
+        return GenContext(
+            cache=kv_cache_init(self.cfg.llm, 1, self.max_kv, self.cache_dtype)
+        )
+
+    def _boundary_ids(self):
+        return jnp.asarray(
+            [self.new_token_ids["start_of_image"], self.new_token_ids["end_of_image"]],
+            jnp.int32,
+        )
+
+    def update_context_text(self, text: str, ctx: GenContext) -> GenContext:
+        ids = (
+            [self.new_token_ids["bos_token_id"]]
+            + self.tokenizer.encode(text)
+            + [self.new_token_ids["eos_token_id"]]
+        )
+        t = len(ids)
+        tb = _bucket(t)
+        ids_arr = np.zeros((1, tb), np.int32)
+        ids_arr[0, :t] = ids
+        pos = np.zeros((1, tb), np.int32)
+        pos[0, :t] = np.arange(ctx.rope, ctx.rope + t)
+        _, cache = _prefill_text(
+            self.params, self.cfg, ctx.cache, jnp.asarray(ids_arr),
+            jnp.asarray(pos), jnp.asarray([t], jnp.int32),
+        )
+        return GenContext(cache=cache, kv_len=ctx.kv_len + t, rope=ctx.rope + t)
+
+    def _prep_image_tokens(self, image: np.ndarray, patch: int, max_side: int):
+        """image HWC [-1,1] -> (patches [n, p*p*3], pos_ids [n], h, w)."""
+        h, w = image.shape[0] // patch, image.shape[1] // patch
+        x = image.reshape(h, patch, w, patch, 3).transpose(0, 2, 1, 3, 4)
+        patches = x.reshape(h * w, patch * patch * 3)
+        pos = np.asarray(self._pos_ids(image.shape[0], image.shape[1], patch, max_side))
+        return patches, pos, h, w
+
+    @staticmethod
+    def _crop_to_multiple(image: np.ndarray, stride: int) -> np.ndarray:
+        """Center-crop H/W down to multiples of `stride`. The reference uses
+        separate stride-divisible resize transforms per pathway
+        (vae_transform stride 16 vs vit_transform stride 14, app.py:134-136);
+        when the caller hands us a raw array we crop instead of resampling."""
+        h = image.shape[0] // stride * stride
+        w = image.shape[1] // stride * stride
+        oh = (image.shape[0] - h) // 2
+        ow = (image.shape[1] - w) // 2
+        return image[oh : oh + h, ow : ow + w]
+
+    def update_context_image(
+        self, image: np.ndarray, ctx: GenContext, vae: bool = True,
+        vit: bool = True, rng: Optional[jax.Array] = None,
+    ) -> GenContext:
+        """image: HWC float array in [-1, 1]; each pathway crops to its own
+        stride multiple."""
+        assert vae or vit
+        boundary = self._boundary_ids()
+        full_image = image
+        if vae:
+            image = self._crop_to_multiple(full_image, self.cfg.latent_downsample)
+            z = vae_encode(
+                self.params["vae"], self.cfg.vae, jnp.asarray(image)[None],
+                rng=rng if rng is not None else jax.random.PRNGKey(0),
+                sample=True,
+            )[0]
+            lat = patchify_latent(z, self.cfg.latent_patch_size)
+            n = lat.shape[0]
+            lat_pos = np.asarray(
+                self._pos_ids(
+                    image.shape[0], image.shape[1], self.cfg.latent_downsample,
+                    self.cfg.max_latent_size,
+                )
+            )
+            _, cache = _prefill_vae(
+                self.params, self.cfg, ctx.cache, boundary,
+                lat.astype(jnp.float32), jnp.asarray(lat_pos),
+                jnp.asarray(ctx.rope, jnp.int32),
+                jnp.asarray([n + 2], jnp.int32), jnp.asarray(0.0),
+            )
+            ctx = GenContext(cache=cache, kv_len=ctx.kv_len + n + 2, rope=ctx.rope + 1)
+        if vit:
+            patch = self.cfg.vit.patch_size
+            image = self._crop_to_multiple(full_image, patch)
+            patches, pos, h, w = self._prep_image_tokens(
+                image, patch, self.cfg.vit_max_num_patch_per_side
+            )
+            n = patches.shape[0]
+            nb = _bucket(n, 64)
+            patches_p = np.zeros((nb, patches.shape[1]), np.float32)
+            patches_p[:n] = patches
+            pos_p = np.zeros(nb, np.int32)
+            pos_p[:n] = pos
+            seg = np.zeros(nb, np.int32)
+            seg[:n] = 1
+            _, cache = _prefill_vit(
+                self.params, self.cfg, ctx.cache, boundary,
+                jnp.asarray(patches_p, self.cache_dtype), jnp.asarray(pos_p),
+                jnp.asarray(seg), jnp.asarray(ctx.rope, jnp.int32),
+                jnp.asarray([n + 2], jnp.int32),
+            )
+            ctx = GenContext(cache=cache, kv_len=ctx.kv_len + n + 2, rope=ctx.rope + 1)
+        return ctx
+
+    # -- generation ---------------------------------------------------------
+
+    def gen_text(
+        self, ctx: GenContext, max_length: int = 500, do_sample: bool = False,
+        temperature: float = 1.0, rng: Optional[jax.Array] = None,
+    ) -> str:
+        start = jnp.asarray([self.new_token_ids["bos_token_id"]], jnp.int32)
+        pos = jnp.asarray([ctx.rope], jnp.int32)
+        toks, _ = _decode_jit(
+            self.params, self.cfg, ctx.cache, start, pos,
+            max_steps=max_length, eos_id=self.new_token_ids["eos_token_id"],
+            temperature=temperature, do_sample=do_sample,
+            rng=rng if rng is not None else jax.random.PRNGKey(0),
+        )
+        toks = np.asarray(toks[0]).tolist()
+        eos = self.new_token_ids["eos_token_id"]
+        if eos in toks:
+            toks = toks[: toks.index(eos)]
+        return self.tokenizer.decode(toks)
+
+    def gen_image(
+        self,
+        image_shape: Tuple[int, int],
+        ctx: GenContext,
+        cfg_text_precontext: Optional[GenContext] = None,
+        cfg_img_precontext: Optional[GenContext] = None,
+        cfg_text_scale: float = 4.0,
+        cfg_img_scale: float = 1.5,
+        cfg_interval: Tuple[float, float] = (0.4, 1.0),
+        cfg_renorm_min: float = 0.0,
+        cfg_renorm_type: str = "global",
+        num_timesteps: int = 50,
+        timestep_shift: float = 3.0,
+        rng: Optional[jax.Array] = None,
+    ) -> np.ndarray:
+        """Rectified-flow T2I / edit generation. Returns HWC uint8 image."""
+        cfg = self.cfg
+        H, W = image_shape
+        down = cfg.latent_downsample
+        h, w = H // down, W // down
+        n = h * w
+        pd = cfg.patch_latent_dim
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        x_t = jax.random.normal(rng, (n, pd), jnp.float32)
+        lat_pos = jnp.asarray(np.asarray(self._pos_ids(H, W, down, cfg.max_latent_size)))
+
+        ts, dts = shifted_timesteps(num_timesteps, timestep_shift)
+        ts_np = np.asarray(ts)
+        cfg_on = (ts_np > cfg_interval[0]) & (ts_np <= cfg_interval[1])
+
+        # assemble branches: order [cond, cfg_text, cfg_img]
+        branches = [ctx]
+        if cfg_text_scale > 1.0 and cfg_text_precontext is not None:
+            branches.append(cfg_text_precontext)
+        if cfg_img_scale > 1.0 and cfg_img_precontext is not None:
+            branches.append(cfg_img_precontext)
+        nb = len(branches)
+
+        def stacked(ctxs):
+            k = jnp.concatenate([c.cache.k for c in ctxs], axis=1)
+            v = jnp.concatenate([c.cache.v for c in ctxs], axis=1)
+            ln = jnp.concatenate([c.cache.length for c in ctxs], axis=0)
+            rope = jnp.asarray([c.rope for c in ctxs], jnp.int32)
+            return k, v, ln, rope
+
+        boundary = self._boundary_ids()
+        # phase 1: CFG-on steps (batched branches); phase 2: cond only
+        idx_on = np.nonzero(cfg_on)[0]
+        idx_off = np.nonzero(~cfg_on)[0]
+        # schedule is monotone: cfg-on steps form a contiguous run (checked)
+        if len(idx_on) and len(idx_off):
+            assert idx_on.max() < idx_off.min() or idx_off.max() < idx_on.min()
+
+        def run(x_t, idxs, ctxs, text_s, img_s):
+            if len(idxs) == 0:
+                return x_t
+            k, v, ln, rope = stacked(ctxs)
+            return _denoise_phase(
+                self.params, cfg, x_t, k, v, ln, rope, lat_pos, boundary,
+                ts[idxs], dts[idxs],
+                n_branches=len(ctxs),
+                cfg_text_scale=text_s, cfg_img_scale=img_s,
+                cfg_renorm_type=cfg_renorm_type, cfg_renorm_min=cfg_renorm_min,
+            )
+
+        if len(idx_on) and len(idx_off) and idx_on.min() > idx_off.min():
+            # cfg window starts later in the run
+            x_t = run(x_t, idx_off[idx_off < idx_on.min()], [ctx], 1.0, 1.0)
+            x_t = run(x_t, idx_on, branches, cfg_text_scale, cfg_img_scale)
+            x_t = run(x_t, idx_off[idx_off > idx_on.max()], [ctx], 1.0, 1.0)
+        else:
+            x_t = run(x_t, idx_on, branches, cfg_text_scale, cfg_img_scale)
+            x_t = run(x_t, idx_off, [ctx], 1.0, 1.0)
+
+        z = unpatchify_latent(x_t, h, w, cfg.latent_patch_size, cfg.latent_channel)
+        img = vae_decode(self.params["vae"], cfg.vae, z[None])[0]
+        img = np.asarray(jnp.clip(img * 0.5 + 0.5, 0, 1) * 255).astype(np.uint8)
+        return img
+
+    # -- top-level interleaved API (inferencer.py:207-313 parity) -----------
+
+    def interleave_inference(
+        self,
+        input_list: List[Union[str, np.ndarray]],
+        think: bool = False,
+        understanding_output: bool = False,
+        max_think_token_n: int = 1000,
+        do_sample: bool = False,
+        text_temperature: float = 0.3,
+        cfg_text_scale: float = 3.0,
+        cfg_img_scale: float = 1.5,
+        cfg_interval: Tuple[float, float] = (0.4, 1.0),
+        timestep_shift: float = 3.0,
+        num_timesteps: int = 50,
+        cfg_renorm_min: float = 0.0,
+        cfg_renorm_type: str = "global",
+        image_shapes: Tuple[int, int] = (1024, 1024),
+        rng: Optional[jax.Array] = None,
+    ) -> List[Union[str, np.ndarray]]:
+        output = []
+        ctx = self.init_context()
+        cfg_text_ctx = ctx.copy()
+        cfg_img_ctx = ctx.copy()
+
+        if think:
+            sys_prompt = (
+                VLM_THINK_SYSTEM_PROMPT if understanding_output
+                else GEN_THINK_SYSTEM_PROMPT
+            )
+            ctx = self.update_context_text(sys_prompt, ctx)
+            cfg_img_ctx = self.update_context_text(sys_prompt, cfg_img_ctx)
+
+        for term in input_list:
+            if isinstance(term, str):
+                cfg_text_ctx = ctx.copy()
+                ctx = self.update_context_text(term, ctx)
+                cfg_img_ctx = self.update_context_text(term, cfg_img_ctx)
+            elif isinstance(term, np.ndarray):
+                if self.vae_transform is not None:
+                    term = self.vae_transform(term)
+                ctx = self.update_context_image(
+                    term, ctx, vae=not understanding_output, vit=True
+                )
+                image_shapes = term.shape[:2]
+                cfg_text_ctx = ctx.copy()
+            else:
+                raise ValueError(f"Unsupported input type: {type(term)}")
+
+        if understanding_output:
+            output.append(
+                self.gen_text(
+                    ctx, max_length=max_think_token_n, do_sample=do_sample,
+                    temperature=text_temperature,
+                )
+            )
+            return output
+
+        if think:
+            txt = self.gen_text(
+                ctx, max_length=max_think_token_n, do_sample=do_sample,
+                temperature=text_temperature,
+            )
+            ctx = self.update_context_text(txt, ctx)
+            output.append(txt)
+
+        img = self.gen_image(
+            image_shapes, ctx,
+            cfg_text_precontext=cfg_text_ctx,
+            cfg_img_precontext=cfg_img_ctx,
+            cfg_text_scale=cfg_text_scale, cfg_img_scale=cfg_img_scale,
+            cfg_interval=cfg_interval, timestep_shift=timestep_shift,
+            num_timesteps=num_timesteps, cfg_renorm_min=cfg_renorm_min,
+            cfg_renorm_type=cfg_renorm_type, rng=rng,
+        )
+        output.append(img)
+        return output
+
+    def __call__(self, image=None, text=None, **kwargs):
+        out = {"image": None, "text": None}
+        inputs = [x for x in (image, text) if x is not None]
+        if not inputs:
+            return out
+        for item in self.interleave_inference(inputs, **kwargs):
+            if isinstance(item, np.ndarray):
+                out["image"] = item
+            else:
+                out["text"] = item
+        return out
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "max_steps", "eos_id", "temperature", "do_sample"),
+)
+def _decode_jit(params, cfg, cache, start, pos, *, max_steps, eos_id,
+                temperature, do_sample, rng):
+    return qwen2.decode_text(
+        params["llm"], cfg.llm, cache, start, pos,
+        max_steps=max_steps, eos_id=eos_id, temperature=temperature,
+        do_sample=do_sample, rng=rng,
+    )

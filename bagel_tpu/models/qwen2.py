@@ -357,6 +357,146 @@ def lm_logits(params: dict, hidden: jax.Array, precision=None) -> jax.Array:
 
 
 # ---------------------------------------------------------------------------
+# Packed training forward (dual-dense MoT)
+# ---------------------------------------------------------------------------
+
+
+def _select(gen_mask, gen_val, und_val):
+    return jnp.where(gen_mask[:, None], gen_val, und_val)
+
+
+def llm_forward_train(
+    params: dict,
+    cfg: Qwen2Config,
+    packed: jax.Array,  # [S, d] pre-assembled embeddings
+    position_ids: jax.Array,  # [S]
+    mask: jax.Array,  # [S, S] bool attention mask (train_packed_mask)
+    gen_mask: jax.Array,  # [S] bool, True = gen-expert (VAE) token
+    precision=None,
+) -> jax.Array:
+    """Training forward over one packed multi-sample sequence.
+
+    MoT formulation: both experts run densely over the whole buffer and the
+    result is selected per token by modality — exact semantics of the
+    reference's index-scatter (qwen2_navit.py:713-755) but MXU-friendly.
+    freeze_und applies stop_gradient to und-token contributions at the same
+    points as the reference (:434-448, 737-748, 980-1013).
+
+    Returns final hidden states [S, d] (post final-norm, expert-selected).
+    """
+    s, d = packed.shape
+    h = cfg.num_attention_heads
+    kh = cfg.num_key_value_heads
+    hd = cfg.head_dim
+    mot = cfg.layer_module == "mot"
+    eps = cfg.rms_norm_eps
+    cos, sin = rope_cos_sin(position_ids, hd, cfg.rope_theta)
+
+    def freeze_und(x):
+        if cfg.freeze_und:
+            return _select(gen_mask, x, lax.stop_gradient(x))
+        return x
+
+    x = freeze_und(packed)
+
+    def body(x, lp):
+        attn_u = lp["attn"]
+        attn_g = lp["attn_gen"] if mot else lp["attn"]
+        res = x
+        if mot:
+            y = _select(
+                gen_mask,
+                rms_norm(x, lp["input_ln_gen"], eps),
+                rms_norm(x, lp["input_ln"], eps),
+            )
+        else:
+            y = rms_norm(x, lp["input_ln"], eps)
+
+        def qkv(attn):
+            q = _linear(y, attn["q"], precision).reshape(s, h, hd)
+            k = _linear(y, attn["k"], precision).reshape(s, kh, hd)
+            v = _linear(y, attn["v"], precision).reshape(s, kh, hd)
+            return q, k, v
+
+        if mot:
+            qu, ku, vu = qkv(attn_u)
+            qg, kg, vg = qkv(attn_g)
+            q = jnp.where(gen_mask[:, None, None], qg, qu)
+            k = jnp.where(gen_mask[:, None, None], kg, ku)
+            v = jnp.where(gen_mask[:, None, None], vg, freeze_und(vu))
+        else:
+            q, k, v = qkv(attn_u)
+
+        if cfg.qk_norm:
+            def qknorm(z, w):
+                return rms_norm(z.astype(jnp.float32), w, eps)
+
+            if mot:
+                q = jnp.where(
+                    gen_mask[:, None, None],
+                    qknorm(q, attn_g["q_norm"]),
+                    freeze_und(qknorm(q, attn_u["q_norm"])),
+                )
+                k = jnp.where(
+                    gen_mask[:, None, None],
+                    qknorm(k, attn_g["k_norm"]),
+                    freeze_und(qknorm(k, attn_u["k_norm"])),
+                )
+            else:
+                q = qknorm(q, attn_u["q_norm"])
+                k = qknorm(k, attn_u["k_norm"])
+
+        q, k = apply_rope(q, k, cos, sin)
+        q = q.astype(v.dtype)
+        k = k.astype(v.dtype)
+        att = dot_attention(
+            q[None], k[None], v[None], mask=mask[None], precision=precision
+        )[0].reshape(s, h * hd)
+        if mot:
+            o = _select(
+                gen_mask,
+                _linear(att, attn_g["o"], precision),
+                _linear(att, attn_u["o"], precision),
+            )
+            o = _select(gen_mask, o, freeze_und(o))
+        else:
+            o = _linear(att, attn_u["o"], precision)
+        x = res + o.astype(res.dtype)
+
+        res = x
+
+        def ffn(mlp, pln):
+            z = rms_norm(x, pln, eps)
+            gate = _linear(z, {"w": mlp["gate"]}, precision)
+            up = _linear(z, {"w": mlp["up"]}, precision)
+            return _linear(jax.nn.silu(gate) * up, {"w": mlp["down"]}, precision)
+
+        if cfg.use_moe:
+            pln_g = lp["post_ln_gen"] if mot else lp["post_ln"]
+            m = _select(
+                gen_mask,
+                ffn(lp["mlp_gen"], pln_g),
+                freeze_und(ffn(lp["mlp"], lp["post_ln"])),
+            )
+        else:
+            m = ffn(lp["mlp"], lp["post_ln"])
+        x = res + m.astype(res.dtype)
+        return x, None
+
+    x, _ = lax.scan(body, x, params["layers"])
+
+    if cfg.use_moe:
+        out = _select(
+            gen_mask,
+            rms_norm(x, params["final_norm_gen"], eps),
+            freeze_und(rms_norm(x, params["final_norm"], eps)),
+        )
+    else:
+        out = rms_norm(x, params["final_norm"], eps)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Greedy / sampled text decode as a scan (replaces the reference's Python
 # decode loop with host-side index bookkeeping, bagel.py:930-1000)
 # ---------------------------------------------------------------------------
