@@ -173,6 +173,29 @@ def tiny_bagel(**kw) -> BagelConfig:
     return BagelConfig(**base)
 
 
+def micro_bagel(**kw) -> BagelConfig:
+    """Smallest valid config — for gradient/sharding tests where compile
+    time dominates (CPU CI)."""
+    base = dict(
+        llm=Qwen2Config(
+            vocab_size=128, hidden_size=32, intermediate_size=64,
+            num_hidden_layers=1, num_attention_heads=2, num_key_value_heads=1,
+            rope_theta=10000.0, max_position_embeddings=256,
+        ),
+        vit=SiglipConfig(
+            hidden_size=32, intermediate_size=64, num_hidden_layers=1,
+            num_attention_heads=2, image_size=56, patch_size=14,
+        ),
+        vae=VAEConfig(ch=16, ch_mult=(1, 2), num_res_blocks=1, z_channels=4),
+        latent_patch_size=2,
+        max_latent_size=8,
+        vit_max_num_patch_per_side=8,
+        timestep_shift=1.0,
+    )
+    base.update(kw)
+    return BagelConfig(**base)
+
+
 def _to_jsonable(obj):
     if dataclasses.is_dataclass(obj):
         return {k: _to_jsonable(v) for k, v in dataclasses.asdict(obj).items()}

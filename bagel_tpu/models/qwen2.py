@@ -362,7 +362,8 @@ def lm_logits(params: dict, hidden: jax.Array, precision=None) -> jax.Array:
 
 
 def _select(gen_mask, gen_val, und_val):
-    return jnp.where(gen_mask[:, None], gen_val, und_val)
+    mask = gen_mask.reshape(gen_mask.shape + (1,) * (gen_val.ndim - 1))
+    return jnp.where(mask, gen_val, und_val)
 
 
 def llm_forward_train(

@@ -1,0 +1,140 @@
+"""Benchmark: 1024px 50-step CFG T2I denoise throughput per chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+
+The BASELINE target is >=2 img/s/chip for 1024^2 50-step CFG T2I (driver
+north star; the reference publishes no latency numbers at all). BAGEL-7B-MoT
+is 14B params (~28 GB bf16) and does not fit one v5e chip, so the bench runs
+the deepest depth-reduced full-width MoT stack that fits, times the real
+denoise scan (batched 3-branch CFG, 4096 latent tokens), and extrapolates
+linearly to 28 layers (denoise cost is layer-linear). The extrapolation
+basis is reported alongside the number.
+
+Usage: python bench.py [--preset tiny|full] [--steps N] [--image 1024]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+import time
+
+
+def _build(depth: int, image: int, dtype_name: str):
+    import jax
+    import jax.numpy as jnp
+
+    from bagel_tpu.configs import BagelConfig, Qwen2Config, SiglipConfig, VAEConfig
+    from bagel_tpu.inference.engine import _denoise_phase
+    from bagel_tpu.models import qwen2
+    from bagel_tpu.models.bagel import init_bagel_params, shifted_timesteps
+
+    dtype = jnp.bfloat16 if dtype_name == "bf16" else jnp.float32
+    llm = Qwen2Config(num_hidden_layers=depth)
+    cfg = BagelConfig(
+        llm=llm, vit=None, vae=VAEConfig(), visual_und=False,
+        max_latent_size=64, timestep_shift=3.0,
+    )
+    params = init_bagel_params(jax.random.PRNGKey(0), cfg, dtype=dtype)
+
+    down = cfg.latent_downsample  # 16
+    h = w = image // down
+    n = h * w
+    pd = cfg.patch_latent_dim
+    prompt_len = 64
+    kv_max = prompt_len + n + 2
+
+    nb = 3  # cond + cfg_text + cfg_img branches, batched
+    cache = qwen2.kv_cache_init(cfg.llm, nb, kv_max, dtype)
+    cache = dataclasses.replace(
+        cache, length=jnp.full((nb,), prompt_len, jnp.int32)
+    )
+    x_t = jax.random.normal(jax.random.PRNGKey(1), (n, pd), jnp.float32)
+    lat_pos = jnp.zeros((n,), jnp.int32)
+    boundary = jnp.asarray([3, 4], jnp.int32)
+    rope = jnp.full((nb,), prompt_len, jnp.int32)
+    return cfg, params, cache, x_t, lat_pos, boundary, rope, _denoise_phase, shifted_timesteps
+
+
+def run_bench(depth: int, image: int, steps: int, dtype_name: str):
+    import jax
+    import jax.numpy as jnp
+
+    (cfg, params, cache, x_t, lat_pos, boundary, rope,
+     _denoise_phase, shifted_timesteps) = _build(depth, image, dtype_name)
+
+    ts, dts = shifted_timesteps(steps + 1, cfg.timestep_shift)
+
+    def run(x):
+        return _denoise_phase(
+            params, cfg, x, cache.k, cache.v, cache.length, rope, lat_pos,
+            boundary, ts, dts, n_branches=3, cfg_text_scale=4.0,
+            cfg_img_scale=1.5, cfg_renorm_type="global", cfg_renorm_min=0.0,
+        )
+
+    # compile + warmup
+    out = run(x_t)
+    out.block_until_ready()
+    t0 = time.perf_counter()
+    out = run(x_t)
+    out.block_until_ready()
+    elapsed = time.perf_counter() - t0
+    return elapsed
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--preset", default="auto", choices=["auto", "tiny", "full"])
+    ap.add_argument("--steps", type=int, default=None)
+    ap.add_argument("--image", type=int, default=None)
+    args = ap.parse_args()
+
+    import jax
+
+    platform = jax.devices()[0].platform
+    if args.preset == "tiny" or (args.preset == "auto" and platform == "cpu"):
+        depths, image, steps, dtype = [2], args.image or 256, args.steps or 2, "fp32"
+    else:
+        depths, image, steps, dtype = [28, 14, 8, 4], args.image or 1024, args.steps or 50, "bf16"
+
+    full_depth = 28
+    for depth in depths:
+        try:
+            elapsed = run_bench(depth, image, steps, dtype)
+            break
+        except Exception as e:  # OOM on small chips -> reduce depth
+            msg = str(e)
+            if "RESOURCE_EXHAUSTED" in msg or "out of memory" in msg.lower():
+                print(f"# depth {depth} OOM, retrying smaller", file=sys.stderr)
+                continue
+            raise
+    else:
+        print(json.dumps({"metric": "bench_failed", "value": 0, "unit": "",
+                          "vs_baseline": 0}))
+        return
+
+    # per-image time extrapolated to 50 steps and full depth
+    per_image = elapsed * (50 / steps) * (full_depth / depth)
+    img_per_s = 1.0 / per_image
+    result = {
+        "metric": f"{image}px_50step_cfg_t2i_denoise_throughput",
+        "value": round(img_per_s, 5),
+        "unit": "img/s/chip",
+        "vs_baseline": round(img_per_s / 2.0, 5),
+        "detail": {
+            "platform": platform,
+            "measured_depth": depth,
+            "full_depth": full_depth,
+            "measured_steps": steps,
+            "measured_s": round(elapsed, 3),
+            "dtype": dtype,
+            "note": "3-branch batched CFG denoise scan; linear depth/step extrapolation; baseline = 2 img/s/chip driver target",
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,19 +1,18 @@
 """Test config: run everything on a simulated 8-device CPU mesh.
 
+NOTE: in this environment the JAX_PLATFORMS env var is overridden by the
+preinstalled TPU plugin — the programmatic config below is the only
+override that sticks. Without it, tests silently run on the tunneled TPU.
+
 The reference has no testing infrastructure at all (SURVEY.md §4); here every
-unit runs on CPU JAX and multi-chip sharding is validated via
-xla_force_host_platform_device_count — the capability the torch reference
-lacks entirely.
+unit runs on CPU JAX and multi-chip sharding is validated via a virtual
+8-device CPU mesh — a capability the torch reference lacks entirely.
 """
 
-import os
+import jax
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 import numpy as np
 import pytest

@@ -1,0 +1,109 @@
+"""Training step + GSPMD sharding tests on the 8-device CPU mesh.
+
+Uses micro_bagel (1 layer) — compile time dominates on CPU CI; the numerics
+of the full stack are covered by the golden tests elsewhere.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from bagel_tpu.configs import micro_bagel
+from bagel_tpu.data.packing import make_synthetic_batch, stack_batches
+from bagel_tpu.models.bagel import init_bagel_params
+from bagel_tpu.parallel import make_mesh, shard_batch, shard_params
+from bagel_tpu.train import (
+    compute_losses,
+    init_train_state,
+    make_lr_schedule,
+    make_optimizer,
+    make_train_step,
+)
+
+
+def _make(cfg, n=2, seed=0):
+    rng = np.random.default_rng(seed)
+    return stack_batches(
+        [
+            make_synthetic_batch(cfg, rng, seq_len=48, n_text=8,
+                                 vit_hw=(28, 28), vae_hw=(16, 16))
+            for _ in range(n)
+        ]
+    )
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = micro_bagel()
+    params = init_bagel_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    return cfg, params, _make(cfg)
+
+
+def test_loss_decreases_on_fixed_batch(setup):
+    cfg, params, batch = setup
+    tx = make_optimizer(make_lr_schedule(1e-3, warmup_steps=1), max_grad_norm=1.0)
+    state = init_train_state(params, tx, use_ema=True)
+    step = jax.jit(make_train_step(cfg, tx, ce_weight=1.0, mse_weight=1.0))
+
+    losses = []
+    for _ in range(3):
+        state, metrics = step(state, batch, jax.random.PRNGKey(42))
+        losses.append(float(metrics["loss"]))
+        assert np.isfinite(losses[-1])
+        assert float(metrics["grad_norm"]) > 0
+    assert losses[-1] < losses[0], losses
+    assert int(state.step) == 3
+    diff = jax.tree.map(
+        lambda e, p: float(jnp.abs(e - p).max()), state.ema_params, state.params
+    )
+    assert max(jax.tree.leaves(diff)) > 0
+
+
+def test_freeze_und_blocks_und_ffn_gradients():
+    cfg = micro_bagel()
+    cfg = dataclasses.replace(cfg, llm=dataclasses.replace(cfg.llm, freeze_und=True))
+    params = init_bagel_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    # llm2vae is zero-init per reference semantics (bagel.py:96-99), which
+    # makes first-step MSE trunk gradients exactly zero — randomize it so
+    # gradients flow for this test.
+    params["llm2vae"]["w"] = (
+        jax.random.normal(jax.random.PRNGKey(9), params["llm2vae"]["w"].shape) * 0.1
+    )
+    batch = _make(cfg, n=1, seed=1)
+
+    def loss(params):
+        l, m = compute_losses(
+            params, cfg, batch,
+            jnp.zeros((1, batch.vae_patches.shape[1], cfg.patch_latent_dim)),
+            ce_weight=0.0, mse_weight=1.0,
+        )
+        return l
+
+    grads = jax.jit(jax.grad(loss))(params)
+    g_gen = float(jnp.abs(grads["llm"]["layers"]["mlp_gen"]["gate"]).max())
+    assert g_gen > 0
+
+
+def test_sharded_train_step_on_mesh(setup):
+    cfg, params, batch = setup
+    mesh = make_mesh((2, 2, 2))
+    with mesh:
+        sparams = shard_params(mesh, params)
+        sbatch = shard_batch(mesh, batch)
+        tx = make_optimizer(make_lr_schedule(1e-3, warmup_steps=1))
+        state = init_train_state(sparams, tx, use_ema=False)
+        step = jax.jit(make_train_step(cfg, tx))
+        state, metrics = step(state, sbatch, jax.random.PRNGKey(0))
+        loss_sharded = float(metrics["loss"])
+        assert np.isfinite(loss_sharded)
+
+    # compare against the unsharded step: same math, different partitioning
+    tx = make_optimizer(make_lr_schedule(1e-3, warmup_steps=1))
+    state1 = init_train_state(params, tx, use_ema=False)
+    step1 = jax.jit(make_train_step(cfg, tx))
+    _, m1 = step1(state1, batch, jax.random.PRNGKey(0))
+    np.testing.assert_allclose(float(m1["loss"]), loss_sharded, rtol=1e-3)
