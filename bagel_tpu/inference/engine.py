@@ -152,8 +152,12 @@ def _denoise_phase(
     """K denoise steps with n_branches CFG forwards batched together."""
     n = x_t.shape[0]
     b = n_branches
+    # pad the query block to an MXU/flash-friendly multiple; padded rows are
+    # masked by q_valid and their outputs discarded.
+    tb = -(-(n + 2) // 256) * 256 if jax.default_backend() == "tpu" else n + 2
+    pad = tb - (n + 2)
     tok_emb = qwen2.embed_tokens(params["llm"], boundary_ids)  # [2, d]
-    pos = jnp.broadcast_to(branch_rope[:, None], (b, n + 2))
+    pos = jnp.broadcast_to(branch_rope[:, None], (b, tb))
     valid = jnp.full((b,), n + 2, jnp.int32)
     cache = KVCache(k=k_buf, v=v_buf, length=lengths)
 
@@ -162,13 +166,17 @@ def _denoise_phase(
         t_vec = jnp.full((n,), t, jnp.float32)
         lat_emb = latent_to_llm(params, cfg, x_t, t_vec, lat_pos)
         block = jnp.concatenate([tok_emb, lat_emb.astype(tok_emb.dtype)], 0)
+        if pad:
+            block = jnp.concatenate(
+                [block, jnp.zeros((pad, block.shape[1]), block.dtype)], 0
+            )
         block = jnp.broadcast_to(block[None], (b,) + block.shape)
         hidden, _ = qwen2.llm_extend(
             params["llm"], cfg.llm, block, pos, cache, valid,
             und_len=2, causal=False, update_cache=False,
         )
         v = jnp.dot(
-            hidden[:, 2:], params["llm2vae"]["w"],
+            hidden[:, 2 : n + 2], params["llm2vae"]["w"],
             preferred_element_type=jnp.float32,
         ) + params["llm2vae"]["b"].astype(jnp.float32)
         v_cond = v[0]
@@ -201,7 +209,7 @@ class BagelEngine:
         self.cfg = cfg
         self.tokenizer = tokenizer
         self.new_token_ids = new_token_ids
-        self.max_kv = max_kv
+        self.max_kv = -(-max_kv // 256) * 256  # flash kernel block multiple
         self.vae_transform = vae_transform
         self.vit_transform = vit_transform
         self.cache_dtype = params["llm"]["embed"].dtype
@@ -365,6 +373,15 @@ class BagelEngine:
         ts, dts = shifted_timesteps(num_timesteps, timestep_shift)
         ts_np = np.asarray(ts)
         cfg_on = (ts_np > cfg_interval[0]) & (ts_np <= cfg_interval[1])
+
+        # capacity: the padded query block is written into the buffer at
+        # kv_len even when the cache is not updated; dynamic_update_slice
+        # would clamp (and corrupt) an overflowing write.
+        tb = -(-(n + 2) // 256) * 256
+        assert ctx.kv_len + tb <= self.max_kv, (
+            f"KV buffer too small: kv_len={ctx.kv_len} + block={tb} > "
+            f"max_kv={self.max_kv}"
+        )
 
         # assemble branches: order [cond, cfg_text, cfg_img]
         branches = [ctx]

@@ -40,8 +40,21 @@ from jax import lax
 
 from bagel_tpu.configs import Qwen2Config
 from bagel_tpu.ops.attention import cache_block_mask, dot_attention
+from bagel_tpu.ops.flash import flash_cached_attention
 from bagel_tpu.ops.norms import rms_norm
 from bagel_tpu.ops.rope import apply_rope, rope_cos_sin
+
+
+def _flash_eligible(t: int, s: int, d: int) -> bool:
+    """The Pallas kernel needs MXU-aligned block shapes and a TPU backend;
+    everything else (decode T=1, CPU tests) takes the XLA path."""
+    return (
+        jax.default_backend() == "tpu"
+        and d % 128 == 0
+        and t % 128 == 0
+        and s % 128 == 0
+        and t >= 128
+    )
 
 
 @jax.tree_util.register_dataclass
@@ -196,6 +209,7 @@ def _layer_extend(
     cos: jax.Array,  # [B, T, D]
     sin: jax.Array,
     precision=None,
+    attn_impl: str = "auto",
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """One decoder layer over a new token block. Returns (x, k_buf, v_buf)
     with the new block's K/V written at [past_len, past_len+T)."""
@@ -255,8 +269,15 @@ def _layer_extend(
     k_buf = jax.vmap(write)(k_buf, k, past_len)
     v_buf = jax.vmap(write)(v_buf, v, past_len)
 
-    mask = cache_block_mask(k_buf.shape[1], t, past_len, q_valid, causal)
-    att = dot_attention(q, k_buf, v_buf, mask=mask, precision=precision)
+    if attn_impl == "flash" or (
+        attn_impl == "auto" and _flash_eligible(t, k_buf.shape[1], hd)
+    ):
+        att = flash_cached_attention(
+            q, k_buf, v_buf, past_len, q_valid, causal=causal
+        )
+    else:
+        mask = cache_block_mask(k_buf.shape[1], t, past_len, q_valid, causal)
+        att = dot_attention(q, k_buf, v_buf, mask=mask, precision=precision)
     att = att.reshape(b, t, h * hd)
 
     o = _split_apply(
@@ -299,6 +320,7 @@ def llm_extend(
     causal: bool,
     update_cache: bool,
     precision=None,
+    attn_impl: str = "auto",
 ) -> Tuple[jax.Array, KVCache]:
     """Run the full decoder stack over one new block of tokens.
 
@@ -314,7 +336,7 @@ def llm_extend(
 
     layer_fn = partial(
         _layer_extend, cfg, und_len, causal,
-        precision=precision,
+        precision=precision, attn_impl=attn_impl,
     )
 
     def body(carry, xs):

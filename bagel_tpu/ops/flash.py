@@ -1,0 +1,175 @@
+"""Pallas TPU flash attention over a cached KV ring buffer.
+
+Replaces flash_attn_varlen_func on the inference hot path
+(qwen2_navit.py:361-370, 579-588): a new block of T queries attends over a
+preallocated KV buffer holding `past_len` cached tokens plus the new block
+written at [past_len, past_len + valid). Mask semantics identical to
+ops.attention.cache_block_mask:
+
+  visible(b, i, j) = j < past + (i+1 if causal else valid)  &  i < valid
+
+Design (pallas_guide.md):
+- grid (B, H, nq, nk); the trailing kv dimension is sequential on TPU, so
+  the online-softmax running state (m, l, acc) lives in VMEM scratch and
+  persists across nk steps; init at ik==0, finalize at ik==nk-1.
+- GQA without materializing repeated KV: the k/v BlockSpec index map sends
+  query head h to kv head h // group_size.
+- kv blocks wholly beyond the live region [0, past+valid) are skipped with
+  pl.when (their DMA still runs — block-level index skipping can come later;
+  the engine sizes buffers to the session bucket so the tail is short).
+- fp32 logits/softmax on the VPU, bf16 matmuls on the MXU.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _flash_kernel(
+    past_ref, valid_ref,  # scalar-prefetch [B]
+    q_ref, k_ref, v_ref,  # [1, 1, bq, D], [1, 1, bk, D]
+    o_ref,
+    m_scr, l_scr, acc_scr,
+    *, causal: bool, scale: float, block_q: int, block_k: int,
+):
+    b = pl.program_id(0)
+    iq = pl.program_id(2)
+    ik = pl.program_id(3)
+    nk = pl.num_programs(3)
+
+    @pl.when(ik == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    past = past_ref[b]
+    valid = valid_ref[b]
+    bound = past + valid  # live kv region is [0, bound)
+    kstart = ik * block_k
+
+    @pl.when(kstart < bound)
+    def _compute():
+        q = q_ref[0, 0]  # [bq, D]
+        k = k_ref[0, 0]  # [bk, D]
+        v = v_ref[0, 0]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale  # [bq, bk]
+
+        rows = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+        cols = kstart + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 1
+        )
+        qpos = iq * block_q + rows
+        if causal:
+            mask = cols <= past + qpos
+        else:
+            mask = cols < bound
+        mask = mask & (cols < bound) & (qpos < valid)
+        s = jnp.where(mask, s, NEG_INF)
+
+        m_prev = m_scr[:, 0:1]  # [bq, 1]
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s - m_new)
+        p = jnp.where(mask, p, 0.0)
+        alpha = jnp.exp(m_prev - m_new)  # [bq, 1]
+
+        l_new = l_scr[:, 0:1] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+        l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
+
+    @pl.when(ik == nk - 1)
+    def _finalize():
+        l = l_scr[:, 0:1]
+        o = acc_scr[:] / jnp.maximum(l, 1e-20)
+        o_ref[0, 0] = o.astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("causal", "block_q", "block_k", "interpret", "scale"),
+)
+def flash_cached_attention(
+    q: jax.Array,  # [B, T, H, D]
+    k: jax.Array,  # [B, S, KH, D] ring buffer
+    v: jax.Array,
+    past_len: jax.Array,  # [B] int32
+    q_valid: jax.Array,  # [B] int32
+    *,
+    causal: bool,
+    scale: float | None = None,
+    block_q: int = 256,
+    block_k: int = 256,
+    interpret: bool = False,
+) -> jax.Array:
+    """Flash attention over (cache ++ new block). Returns [B, T, H, D].
+
+    Requires T % block_q == 0 and S % block_k == 0 (engine buckets shapes).
+    Rows beyond q_valid produce zeros.
+    """
+    b, t, h, d = q.shape
+    _, s, kh, _ = k.shape
+    g = h // kh
+    block_q = min(block_q, t)
+    block_k = min(block_k, s)
+    assert t % block_q == 0 and s % block_k == 0, (t, s, block_q, block_k)
+    if scale is None:
+        scale = d**-0.5
+
+    qt = q.transpose(0, 2, 1, 3)  # [B, H, T, D]
+    kt = k.transpose(0, 2, 1, 3)  # [B, KH, S, D]
+    vt = v.transpose(0, 2, 1, 3)
+
+    grid = (b, h, t // block_q, s // block_k)
+    kernel = functools.partial(
+        _flash_kernel, causal=causal, scale=scale,
+        block_q=block_q, block_k=block_k,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(
+                    (1, 1, block_q, d),
+                    lambda bb, hh, qq, kk, *refs: (bb, hh, qq, 0),
+                ),
+                pl.BlockSpec(
+                    (1, 1, block_k, d),
+                    lambda bb, hh, qq, kk, *refs: (bb, hh // g, kk, 0),
+                ),
+                pl.BlockSpec(
+                    (1, 1, block_k, d),
+                    lambda bb, hh, qq, kk, *refs: (bb, hh // g, kk, 0),
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 1, block_q, d),
+                lambda bb, hh, qq, kk, *refs: (bb, hh, qq, 0),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((block_q, 128), jnp.float32),  # m
+                pltpu.VMEM((block_q, 128), jnp.float32),  # l
+                pltpu.VMEM((block_q, d), jnp.float32),  # acc
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, h, t, d), q.dtype),
+        interpret=interpret,
+    )(past_len.astype(jnp.int32), q_valid.astype(jnp.int32), qt, kt, vt)
+    return out.transpose(0, 2, 1, 3)

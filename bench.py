@@ -44,7 +44,8 @@ def _build(depth: int, image: int, dtype_name: str):
     n = h * w
     pd = cfg.patch_latent_dim
     prompt_len = 64
-    kv_max = prompt_len + n + 2
+    tb = -(-(n + 2) // 256) * 256  # padded query block (engine semantics)
+    kv_max = -(-(prompt_len + tb) // 256) * 256
 
     nb = 3  # cond + cfg_text + cfg_img branches, batched
     cache = qwen2.kv_cache_init(cfg.llm, nb, kv_max, dtype)
@@ -89,7 +90,17 @@ def main():
     ap.add_argument("--preset", default="auto", choices=["auto", "tiny", "full"])
     ap.add_argument("--steps", type=int, default=None)
     ap.add_argument("--image", type=int, default=None)
+    ap.add_argument("--depth", type=int, default=None,
+                    help="internal: run one depth and print elapsed seconds")
     args = ap.parse_args()
+
+    if args.depth is not None:
+        # child mode: one attempt, fresh process (avoids HBM fragmentation
+        # from previous failed attempts)
+        elapsed = run_bench(args.depth, args.image, args.steps,
+                            "bf16" if args.preset == "full" else "fp32")
+        print(f"ELAPSED {elapsed}")
+        return
 
     import jax
 
@@ -97,20 +108,31 @@ def main():
     if args.preset == "tiny" or (args.preset == "auto" and platform == "cpu"):
         depths, image, steps, dtype = [2], args.image or 256, args.steps or 2, "fp32"
     else:
-        depths, image, steps, dtype = [28, 14, 8, 4], args.image or 1024, args.steps or 50, "bf16"
+        depths, image, steps, dtype = [8, 4, 2], args.image or 1024, args.steps or 50, "bf16"
 
     full_depth = 28
-    for depth in depths:
-        try:
-            elapsed = run_bench(depth, image, steps, dtype)
-            break
-        except Exception as e:  # OOM on small chips -> reduce depth
-            msg = str(e)
-            if "RESOURCE_EXHAUSTED" in msg or "out of memory" in msg.lower():
-                print(f"# depth {depth} OOM, retrying smaller", file=sys.stderr)
-                continue
-            raise
+    elapsed = None
+    if platform == "cpu":
+        elapsed = run_bench(depths[0], image, steps, dtype)
+        depth = depths[0]
     else:
+        import subprocess
+
+        for depth in depths:
+            proc = subprocess.run(
+                [sys.executable, __file__, "--depth", str(depth),
+                 "--image", str(image), "--steps", str(steps),
+                 "--preset", "full"],
+                capture_output=True, text=True, timeout=3000,
+            )
+            for line in proc.stdout.splitlines():
+                if line.startswith("ELAPSED "):
+                    elapsed = float(line.split()[1])
+                    break
+            if elapsed is not None:
+                break
+            print(f"# depth {depth} failed, retrying smaller", file=sys.stderr)
+    if elapsed is None:
         print(json.dumps({"metric": "bench_failed", "value": 0, "unit": "",
                           "vs_baseline": 0}))
         return

@@ -1,0 +1,64 @@
+"""Pallas flash attention vs the XLA reference path (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from bagel_tpu.ops.attention import cache_block_mask, dot_attention
+from bagel_tpu.ops.flash import flash_cached_attention
+
+
+@pytest.mark.parametrize("causal", [True, False])
+@pytest.mark.parametrize(
+    "b,t,s,h,kh,d,past,valid",
+    [
+        (1, 8, 32, 4, 2, 32, 10, 8),     # prefill with cache
+        (2, 8, 32, 4, 1, 32, 0, 8),      # no cache (fresh prefill), MQA
+        (1, 16, 16, 2, 2, 32, 0, 12),    # padded queries (valid < t)
+        (2, 8, 64, 8, 2, 32, 17, 5),     # ragged past + padded block
+    ],
+)
+def test_flash_matches_xla(causal, b, t, s, h, kh, d, past, valid):
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((b, t, h, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, s, kh, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, s, kh, d)), jnp.float32)
+    past_arr = jnp.full((b,), past, jnp.int32)
+    valid_arr = jnp.full((b,), valid, jnp.int32)
+
+    mask = cache_block_mask(s, t, past_arr, valid_arr, causal)
+    expected = dot_attention(q, k, v, mask=mask, precision="float32")
+
+    got = flash_cached_attention(
+        q, k, v, past_arr, valid_arr, causal=causal,
+        block_q=8, block_k=16, interpret=True,
+    )
+    valid_rows = np.arange(t) < valid
+    np.testing.assert_allclose(
+        np.asarray(got)[:, valid_rows],
+        np.asarray(expected)[:, valid_rows],
+        rtol=2e-5, atol=2e-5,
+    )
+    # padded rows are zero, not NaN
+    assert np.isfinite(np.asarray(got)).all()
+
+
+def test_flash_gqa_head_mapping():
+    """Each query head group must read its own kv head."""
+    rng = np.random.default_rng(1)
+    b, t, s, h, kh, d = 1, 8, 16, 4, 2, 32
+    q = jnp.asarray(rng.standard_normal((b, t, h, d)), jnp.float32)
+    # kv head 0 = zeros, kv head 1 = random: heads 0,1 get zero output
+    k = jnp.asarray(rng.standard_normal((b, s, kh, d)), jnp.float32)
+    v0 = np.zeros((b, s, 1, d), np.float32)
+    v1 = rng.standard_normal((b, s, 1, d)).astype(np.float32)
+    v = jnp.asarray(np.concatenate([v0, v1], axis=2))
+    out = flash_cached_attention(
+        q, k, v, jnp.asarray([8]), jnp.asarray([8]), causal=False,
+        block_q=8, block_k=16, interpret=True,
+    )
+    out = np.asarray(out)
+    assert np.abs(out[:, :, :2]).max() == 0.0
+    assert np.abs(out[:, :, 2:]).max() > 0.0
