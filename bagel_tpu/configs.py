@@ -186,7 +186,7 @@ def micro_bagel(**kw) -> BagelConfig:
             hidden_size=32, intermediate_size=64, num_hidden_layers=1,
             num_attention_heads=2, image_size=56, patch_size=14,
         ),
-        vae=VAEConfig(ch=16, ch_mult=(1, 2), num_res_blocks=1, z_channels=4),
+        vae=VAEConfig(ch=32, ch_mult=(1, 2), num_res_blocks=1, z_channels=4),
         latent_patch_size=2,
         max_latent_size=8,
         vit_max_num_patch_per_side=8,
