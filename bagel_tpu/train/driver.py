@@ -1,0 +1,326 @@
+"""Training driver CLI — the reference's pretrain_unified_navit.py rebuilt.
+
+Usage:
+  python -m bagel_tpu.train.driver --dataset_config data.yaml \
+      --ckpt_dir ckpts --total_steps 1000 [--resume] ...
+
+One process drives all local TPU chips through GSPMD (multi-host via
+jax.distributed when JAX_COORDINATOR_ADDRESS is set); there is no
+torchrun/NCCL layer. Gradient accumulation, EMA, CE/MSE weighting,
+warmup schedules, MFU logging, periodic checkpointing with exact data
+resume all mirror the reference flags (pretrain_unified_navit.py:211-406).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import time
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from bagel_tpu.configs import BagelConfig, Qwen2Config, SiglipConfig, VAEConfig
+from bagel_tpu.data.datasets import build_grouped_datasets
+from bagel_tpu.data.packing import (
+    PackedBatchIterator,
+    PackerConfig,
+    encode_vae_images,
+    stack_batches,
+)
+from bagel_tpu.data.tokenizer import load_tokenizer
+from bagel_tpu.models.bagel import init_bagel_params
+from bagel_tpu.parallel import make_mesh, shard_batch, shard_params
+from bagel_tpu.train.checkpoint import (
+    get_latest_ckpt,
+    restore_checkpoint,
+    save_checkpoint,
+    step_from_path,
+    update_data_status,
+)
+from bagel_tpu.train.step import (
+    TrainState,
+    compute_losses,
+    init_train_state,
+    make_lr_schedule,
+    make_optimizer,
+)
+from bagel_tpu.utils.metrics import ThroughputMeter, make_logger
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser("bagel_tpu trainer")
+    # model
+    p.add_argument("--preset", type=str, default="7b",
+                   choices=["7b", "micro"],
+                   help="micro = 1-layer config for smoke tests/CI")
+    p.add_argument("--mock_tokenizer", action="store_true",
+                   help="use the deterministic test tokenizer (no files)")
+    p.add_argument("--llm_config", type=str, default=None,
+                   help="json file for Qwen2Config; default = 7B MoT")
+    p.add_argument("--layer_module", type=str, default="mot",
+                   choices=["dense", "moe", "mot"])
+    p.add_argument("--num_hidden_layers", type=int, default=None)
+    p.add_argument("--visual_gen", action="store_true", default=True)
+    p.add_argument("--no_visual_gen", dest="visual_gen", action="store_false")
+    p.add_argument("--visual_und", action="store_true", default=True)
+    p.add_argument("--no_visual_und", dest="visual_und", action="store_false")
+    p.add_argument("--max_latent_size", type=int, default=32)
+    p.add_argument("--timestep_shift", type=float, default=1.0)
+    p.add_argument("--freeze_und", action="store_true")
+    p.add_argument("--init_checkpoint", type=str, default=None,
+                   help="HF-released checkpoint dir to convert + finetune")
+    # data
+    p.add_argument("--dataset_config", type=str, required=False)
+    p.add_argument("--tokenizer_path", type=str, default=None)
+    p.add_argument("--expected_num_tokens", type=int, default=32768)
+    p.add_argument("--max_num_tokens", type=int, default=36864)
+    p.add_argument("--max_num_tokens_per_sample", type=int, default=16384)
+    p.add_argument("--prefer_buffer_before", type=int, default=16384)
+    p.add_argument("--text_cond_dropout_prob", type=float, default=0.1)
+    p.add_argument("--vit_cond_dropout_prob", type=float, default=0.4)
+    p.add_argument("--vae_cond_dropout_prob", type=float, default=0.1)
+    # training
+    p.add_argument("--total_steps", type=int, default=500_000)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--lr_scheduler", type=str, default="constant",
+                   choices=["constant", "cosine"])
+    p.add_argument("--warmup_steps", type=int, default=2000)
+    p.add_argument("--min_lr", type=float, default=1e-7)
+    p.add_argument("--beta1", type=float, default=0.9)
+    p.add_argument("--beta2", type=float, default=0.95)
+    p.add_argument("--eps", type=float, default=1e-15)
+    p.add_argument("--max_grad_norm", type=float, default=1.0)
+    p.add_argument("--ce_weight", type=float, default=0.25)
+    p.add_argument("--mse_weight", type=float, default=1.0)
+    p.add_argument("--ema", type=float, default=0.9999)
+    p.add_argument("--gradient_accumulation_steps", type=int, default=1)
+    p.add_argument("--mesh", type=str, default=None,
+                   help="dp,fsdp,tp e.g. 1,8,1; default all-fsdp")
+    # logging / ckpt
+    p.add_argument("--ckpt_dir", type=str, default="results/ckpt")
+    p.add_argument("--save_every", type=int, default=2000)
+    p.add_argument("--log_every", type=int, default=10)
+    p.add_argument("--auto_resume", action="store_true")
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--profile_dir", type=str, default=None)
+    return p.parse_args(argv)
+
+
+def build_config(args) -> BagelConfig:
+    if args.preset == "micro":
+        from bagel_tpu.configs import micro_bagel
+
+        cfg = micro_bagel()
+        if args.freeze_und:
+            cfg = dataclasses.replace(
+                cfg, llm=dataclasses.replace(cfg.llm, freeze_und=True)
+            )
+        return cfg
+    if args.llm_config:
+        import json
+
+        with open(args.llm_config) as f:
+            llm = Qwen2Config(**json.load(f))
+    else:
+        llm = Qwen2Config(layer_module=args.layer_module,
+                          freeze_und=args.freeze_und)
+    if args.num_hidden_layers:
+        llm = dataclasses.replace(llm, num_hidden_layers=args.num_hidden_layers)
+    return BagelConfig(
+        visual_gen=args.visual_gen,
+        visual_und=args.visual_und,
+        llm=llm,
+        vit=SiglipConfig() if args.visual_und else None,
+        vae=VAEConfig() if args.visual_gen else None,
+        max_latent_size=args.max_latent_size,
+        timestep_shift=args.timestep_shift,
+    )
+
+
+def make_grad_and_apply(cfg, tx, args):
+    def grad_step(params, batch, noise):
+        (loss, metrics), grads = jax.value_and_grad(
+            lambda p: compute_losses(
+                p, cfg, batch, noise, args.ce_weight, args.mse_weight
+            ),
+            has_aux=True,
+        )(params)
+        return grads, metrics
+
+    def apply_step(state: TrainState, grads):
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        ema = state.ema_params
+        if ema is not None:
+            ema = jax.tree.map(
+                lambda e, p: e * args.ema + p.astype(e.dtype) * (1 - args.ema),
+                ema, params,
+            )
+        return TrainState(params=params, opt_state=opt_state,
+                          ema_params=ema, step=state.step + 1)
+
+    return jax.jit(grad_step), jax.jit(apply_step)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        jax.distributed.initialize()
+    rank = jax.process_index()
+    logger = make_logger(rank=rank)
+    cfg = build_config(args)
+
+    if args.mesh:
+        shape = tuple(int(x) for x in args.mesh.split(","))
+    else:
+        shape = (1, len(jax.devices()), 1)
+    mesh = make_mesh(shape)
+    logger.info(f"mesh {dict(zip(('dp', 'fsdp', 'tp'), shape))}, "
+                f"{jax.device_count()} devices")
+
+    # --- model ---
+    if args.init_checkpoint:
+        from bagel_tpu.utils.convert import load_checkpoint_dir
+
+        params = load_checkpoint_dir(args.init_checkpoint, cfg)
+        params = jax.tree.map(lambda x: x.astype(jnp.float32), params)
+    else:
+        params = init_bagel_params(jax.random.PRNGKey(args.seed), cfg,
+                                   dtype=jnp.float32)
+    with mesh:
+        params = shard_params(mesh, params)
+        tx = make_optimizer(
+            make_lr_schedule(args.lr, args.warmup_steps, args.total_steps,
+                             args.lr_scheduler, args.min_lr),
+            args.beta1, args.beta2, args.eps, args.max_grad_norm,
+        )
+        # jitted init: GSPMD derives optimizer/EMA shardings from the params,
+        # so every leaf of the state lands on the mesh consistently (plain
+        # init would commit scalar leaves to device 0 only).
+        state = jax.jit(
+            lambda p: init_train_state(p, tx, use_ema=args.ema > 0)
+        )(params)
+
+    # --- resume ---
+    start_step, data_status = 0, {}
+    if args.auto_resume:
+        latest = get_latest_ckpt(args.ckpt_dir)
+        if latest:
+            abstract = jax.tree.map(
+                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding),
+                state,
+            )
+            state, data_status = restore_checkpoint(latest, abstract)
+            data_status = data_status or {}
+            start_step = step_from_path(latest)
+            logger.info(f"resumed from {latest} at step {start_step}")
+
+    # --- data ---
+    import yaml
+
+    if args.mock_tokenizer:
+        from bagel_tpu.data.tokenizer import MockTokenizer
+
+        tokenizer = MockTokenizer(cfg.llm.vocab_size)
+        new_token_ids = tokenizer.new_token_ids
+    else:
+        tokenizer, new_token_ids, _ = load_tokenizer(
+            args.tokenizer_path or args.init_checkpoint
+        )
+    with open(args.dataset_config) as f:
+        grouped = yaml.safe_load(f)
+    datasets, is_mandatory, weights = build_grouped_datasets(
+        grouped, tokenizer,
+        local_rank=rank, world_size=jax.process_count(),
+        data_status=data_status or None,
+    )
+    pcfg = PackerConfig(
+        text_cond_dropout_prob=args.text_cond_dropout_prob,
+        vit_cond_dropout_prob=args.vit_cond_dropout_prob,
+        vae_cond_dropout_prob=args.vae_cond_dropout_prob,
+        vae_image_downsample=cfg.latent_downsample,
+        max_latent_size=cfg.max_latent_size,
+        vit_patch_size=cfg.vit.patch_size if cfg.vit else 14,
+        max_num_patch_per_side=cfg.vit_max_num_patch_per_side,
+    )
+    packer = PackedBatchIterator(
+        pcfg, [iter(d) for d in datasets], weights, is_mandatory,
+        new_token_ids,
+        expected_num_tokens=args.expected_num_tokens,
+        max_num_tokens_per_sample=args.max_num_tokens_per_sample,
+        max_num_tokens=args.max_num_tokens,
+        prefer_buffer_before=args.prefer_buffer_before,
+        seed=args.seed + rank,
+        finalize_kwargs=dict(
+            vit_patch_dim=cfg.vit.patch_dim if cfg.vit else 588,
+            patch_latent_dim=cfg.patch_latent_dim,
+        ),
+    )
+    data_iter = iter(packer)
+
+    grad_step, apply_step = make_grad_and_apply(cfg, tx, args)
+    meter = ThroughputMeter(cfg.llm, n_chips=jax.device_count())
+    rng = jax.random.PRNGKey(args.seed + 1000 * rank)
+
+    with mesh:
+        for step in range(start_step, args.total_steps):
+            grads_acc = None
+            metrics = None
+            for _ in range(args.gradient_accumulation_steps):
+                host = next(data_iter)
+                rng, r1, r2 = jax.random.split(rng, 3)
+                if cfg.visual_gen:
+                    batch = encode_vae_images(state.params["vae"], cfg, host, r1)
+                else:
+                    batch = host.batch
+                bb = stack_batches([batch])
+                bb = shard_batch(mesh, bb)
+                noise = jax.random.normal(
+                    r2, (1,) + batch.vae_patches.shape, jnp.float32
+                )
+                g, metrics = grad_step(state.params, bb, noise)
+                grads_acc = g if grads_acc is None else jax.tree.map(
+                    jnp.add, grads_acc, g
+                )
+                data_status = update_data_status(data_status, host.data_indexes)
+                meter.update(int(batch.position_ids.shape[0]))
+            if args.gradient_accumulation_steps > 1:
+                grads_acc = jax.tree.map(
+                    lambda x: x / args.gradient_accumulation_steps, grads_acc
+                )
+            state = apply_step(state, grads_acc)
+
+            if step % args.log_every == 0:
+                w = meter.window()
+                msg = (
+                    f"(step={step:07d}) "
+                    f"loss: {float(metrics['loss']):.4f}, "
+                    f"ce: {float(metrics['ce']):.4f}, "
+                )
+                if "mse" in metrics:
+                    msg += f"mse: {float(metrics['mse']):.4f}, "
+                msg += (
+                    f"tok/s: {w['tokens_per_sec'] / 1e3:.1f}k, "
+                    f"mfu: {w['mfu'] * 100:.1f}%"
+                )
+                logger.info(msg)
+                meter.reset()
+
+            if step > start_step and step % args.save_every == 0 and rank == 0:
+                save_checkpoint(args.ckpt_dir, step, state, data_status, cfg)
+                logger.info(f"saved checkpoint at step {step}")
+
+        if rank == 0:
+            save_checkpoint(args.ckpt_dir, args.total_steps, state,
+                            data_status, cfg)
+            logger.info("saved final checkpoint")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,97 @@
+"""Train driver CLI + checkpoint/resume smoke tests."""
+
+import io
+import json
+import os
+
+import numpy as np
+import pytest
+import yaml
+from PIL import Image
+
+import jax
+import jax.numpy as jnp
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = tmp_path_factory.mktemp("driver_data")
+    rng = np.random.default_rng(0)
+    t2i_dir = root / "t2i"
+    t2i_dir.mkdir()
+    rows = []
+    for i in range(6):
+        buf = io.BytesIO()
+        Image.fromarray(
+            rng.integers(0, 255, (48, 40, 3), dtype=np.uint8), "RGB"
+        ).save(buf, "PNG")
+        rows.append({
+            "image": buf.getvalue(),
+            "captions": json.dumps({"cap": f"picture {i}"}),
+        })
+    pq.write_table(pa.Table.from_pylist(rows), t2i_dir / "p0.parquet",
+                   row_group_size=3)
+
+    from bagel_tpu.data.datasets import register_dataset_info
+
+    register_dataset_info("t2i_pretrain", "toy_t2i", data_dir=str(t2i_dir))
+
+    cfg_yaml = root / "data.yaml"
+    cfg_yaml.write_text(yaml.safe_dump({
+        "t2i_pretrain": {
+            "dataset_names": ["toy_t2i"],
+            "weight": 1.0,
+            "is_mandatory": True,
+            "num_used_data": [1],
+            "image_transform_args": {
+                "max_image_size": 48, "min_image_size": 16,
+                "image_stride": 4, "max_pixels": 48 * 48,
+            },
+        }
+    }))
+    return root
+
+
+def test_driver_runs_and_checkpoints(corpus, tmp_path):
+    from bagel_tpu.train import driver
+
+    ckpt_dir = tmp_path / "ckpt"
+    driver.main([
+        "--preset", "micro", "--mock_tokenizer",
+        "--dataset_config", str(corpus / "data.yaml"),
+        "--ckpt_dir", str(ckpt_dir),
+        "--total_steps", "3", "--save_every", "2", "--log_every", "1",
+        "--expected_num_tokens", "200", "--max_num_tokens", "260",
+        "--max_num_tokens_per_sample", "250",
+        "--warmup_steps", "1", "--ce_weight", "1.0",
+    ])
+    from bagel_tpu.train.checkpoint import get_latest_ckpt, step_from_path
+
+    latest = get_latest_ckpt(str(ckpt_dir))
+    assert latest is not None and step_from_path(latest) == 3
+    assert os.path.exists(os.path.join(latest, "data_status.json"))
+    with open(os.path.join(latest, "data_status.json")) as f:
+        status = json.load(f)
+    assert "t2i_pretrain" in status
+
+
+def test_driver_auto_resume(corpus, tmp_path):
+    from bagel_tpu.train import driver
+
+    ckpt_dir = tmp_path / "ckpt2"
+    common = [
+        "--preset", "micro", "--mock_tokenizer",
+        "--dataset_config", str(corpus / "data.yaml"),
+        "--ckpt_dir", str(ckpt_dir),
+        "--save_every", "2", "--log_every", "10",
+        "--expected_num_tokens", "200", "--max_num_tokens", "260",
+        "--max_num_tokens_per_sample", "250", "--warmup_steps", "1",
+    ]
+    driver.main(common + ["--total_steps", "2"])
+    driver.main(common + ["--total_steps", "4", "--auto_resume"])
+    from bagel_tpu.train.checkpoint import get_latest_ckpt, step_from_path
+
+    assert step_from_path(get_latest_ckpt(str(ckpt_dir))) == 4
