@@ -126,6 +126,46 @@ def _prefill_vae(params, cfg: BagelConfig, cache, boundary_ids, latents,
     )
 
 
+def _make_flow_v(params, cfg: BagelConfig, n: int, b: int, boundary_ids,
+                 branch_rope, cache: KVCache, lat_pos):
+    """Closure computing per-branch velocities [B, N, pd] for one step."""
+    tb = -(-(n + 2) // 256) * 256 if jax.default_backend() == "tpu" else n + 2
+    pad = tb - (n + 2)
+    tok_emb = qwen2.embed_tokens(params["llm"], boundary_ids)  # [2, d]
+    pos = jnp.broadcast_to(branch_rope[:, None], (b, tb))
+    valid = jnp.full((b,), n + 2, jnp.int32)
+
+    def flow_v(x_t, t):
+        t_vec = jnp.full((n,), t, jnp.float32)
+        lat_emb = latent_to_llm(params, cfg, x_t, t_vec, lat_pos)
+        block = jnp.concatenate([tok_emb, lat_emb.astype(tok_emb.dtype)], 0)
+        if pad:
+            block = jnp.concatenate(
+                [block, jnp.zeros((pad, block.shape[1]), block.dtype)], 0
+            )
+        block = jnp.broadcast_to(block[None], (b,) + block.shape)
+        hidden, _ = qwen2.llm_extend(
+            params["llm"], cfg.llm, block, pos, cache, valid,
+            und_len=2, causal=False, update_cache=False,
+        )
+        return jnp.dot(
+            hidden[:, 2 : n + 2], params["llm2vae"]["w"],
+            preferred_element_type=jnp.float32,
+        ) + params["llm2vae"]["b"].astype(jnp.float32)
+
+    return flow_v
+
+
+def _combine(v, b, cfg_text_scale, cfg_img_scale, cfg_renorm_type,
+             cfg_renorm_min):
+    return cfg_combine(
+        v[0],
+        v[1] if b >= 2 else None,
+        v[2] if b >= 3 else None,
+        cfg_text_scale, cfg_img_scale, cfg_renorm_type, cfg_renorm_min,
+    )
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -152,43 +192,85 @@ def _denoise_phase(
     """K denoise steps with n_branches CFG forwards batched together."""
     n = x_t.shape[0]
     b = n_branches
-    # pad the query block to an MXU/flash-friendly multiple; padded rows are
-    # masked by q_valid and their outputs discarded.
-    tb = -(-(n + 2) // 256) * 256 if jax.default_backend() == "tpu" else n + 2
-    pad = tb - (n + 2)
-    tok_emb = qwen2.embed_tokens(params["llm"], boundary_ids)  # [2, d]
-    pos = jnp.broadcast_to(branch_rope[:, None], (b, tb))
-    valid = jnp.full((b,), n + 2, jnp.int32)
     cache = KVCache(k=k_buf, v=v_buf, length=lengths)
+    flow_v = _make_flow_v(params, cfg, n, b, boundary_ids, branch_rope,
+                          cache, lat_pos)
 
     def step(x_t, tdt):
         t, dt = tdt
-        t_vec = jnp.full((n,), t, jnp.float32)
-        lat_emb = latent_to_llm(params, cfg, x_t, t_vec, lat_pos)
-        block = jnp.concatenate([tok_emb, lat_emb.astype(tok_emb.dtype)], 0)
-        if pad:
-            block = jnp.concatenate(
-                [block, jnp.zeros((pad, block.shape[1]), block.dtype)], 0
-            )
-        block = jnp.broadcast_to(block[None], (b,) + block.shape)
-        hidden, _ = qwen2.llm_extend(
-            params["llm"], cfg.llm, block, pos, cache, valid,
-            und_len=2, causal=False, update_cache=False,
-        )
-        v = jnp.dot(
-            hidden[:, 2 : n + 2], params["llm2vae"]["w"],
-            preferred_element_type=jnp.float32,
-        ) + params["llm2vae"]["b"].astype(jnp.float32)
-        v_cond = v[0]
-        v_text = v[1] if b >= 2 else None
-        v_img = v[2] if b >= 3 else None
-        v_t = cfg_combine(
-            v_cond, v_text, v_img, cfg_text_scale, cfg_img_scale,
-            cfg_renorm_type, cfg_renorm_min,
-        )
+        v = flow_v(x_t, t)
+        v_t = _combine(v, b, cfg_text_scale, cfg_img_scale,
+                       cfg_renorm_type, cfg_renorm_min)
         return x_t - v_t * dt, None
 
     x_t, _ = jax.lax.scan(step, x_t, (timesteps, dts))
+    return x_t
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "cfg", "n_branches", "cfg_text_scale", "cfg_img_scale",
+        "cfg_renorm_type", "cfg_renorm_min", "max_order",
+    ),
+)
+def _denoise_phase_taylorseer(
+    params,
+    cfg: BagelConfig,
+    x_t,
+    k_buf, v_buf, lengths,
+    branch_rope,
+    lat_pos,
+    boundary_ids,
+    timesteps,
+    dts,
+    is_full,  # [K] bool schedule
+    x_off,  # [K] float
+    delta,  # [K] float
+    grow,  # [K] bool
+    n_branches: int,
+    cfg_text_scale: float,
+    cfg_img_scale: float,
+    cfg_renorm_type: str,
+    cfg_renorm_min: float,
+    max_order: int = 2,
+):
+    """Denoise scan with the TaylorSeer step cache: full LLM forwards on the
+    scheduled steps, Taylor extrapolation of the per-branch velocity field in
+    between (inference/taylorseer.py rationale)."""
+    from bagel_tpu.inference.taylorseer import taylor_eval, taylor_update
+
+    n = x_t.shape[0]
+    b = n_branches
+    pd = x_t.shape[1]
+    cache = KVCache(k=k_buf, v=v_buf, length=lengths)
+    flow_v = _make_flow_v(params, cfg, n, b, boundary_ids, branch_rope,
+                          cache, lat_pos)
+
+    factors0 = jnp.zeros((max_order + 1, b, n, pd), jnp.float32)
+    n_valid0 = jnp.zeros((), jnp.int32)
+
+    def step(carry, xs):
+        x_t, factors, n_valid = carry
+        t, dt, isf, xo, dl, gr = xs
+
+        def full(_):
+            v = flow_v(x_t, t)
+            f2, n2 = taylor_update(factors, n_valid, v, dl, gr)
+            return v, f2, n2
+
+        def taylor(_):
+            return taylor_eval(factors, n_valid, xo), factors, n_valid
+
+        v, factors, n_valid = jax.lax.cond(isf, full, taylor, None)
+        v_t = _combine(v, b, cfg_text_scale, cfg_img_scale,
+                       cfg_renorm_type, cfg_renorm_min)
+        return (x_t - v_t * dt, factors, n_valid), None
+
+    (x_t, _, _), _ = jax.lax.scan(
+        step, (x_t, factors0, n_valid0),
+        (timesteps, dts, is_full, x_off, delta, grow),
+    )
     return x_t
 
 
@@ -356,6 +438,7 @@ class BagelEngine:
         cfg_renorm_type: str = "global",
         num_timesteps: int = 50,
         timestep_shift: float = 3.0,
+        enable_taylorseer: bool = False,
         rng: Optional[jax.Array] = None,
     ) -> np.ndarray:
         """Rectified-flow T2I / edit generation. Returns HWC uint8 image."""
@@ -410,12 +493,25 @@ class BagelEngine:
             if len(idxs) == 0:
                 return x_t
             k, v, ln, rope = stacked(ctxs)
-            return _denoise_phase(
-                self.params, cfg, x_t, k, v, ln, rope, lat_pos, boundary,
-                ts[idxs], dts[idxs],
+            common = dict(
                 n_branches=len(ctxs),
                 cfg_text_scale=text_s, cfg_img_scale=img_s,
                 cfg_renorm_type=cfg_renorm_type, cfg_renorm_min=cfg_renorm_min,
+            )
+            if enable_taylorseer:
+                from bagel_tpu.inference.taylorseer import taylorseer_schedule
+
+                sch = taylorseer_schedule(len(idxs))
+                return _denoise_phase_taylorseer(
+                    self.params, cfg, x_t, k, v, ln, rope, lat_pos, boundary,
+                    ts[idxs], dts[idxs],
+                    jnp.asarray(sch.is_full), jnp.asarray(sch.x_off),
+                    jnp.asarray(sch.delta), jnp.asarray(sch.grow),
+                    **common,
+                )
+            return _denoise_phase(
+                self.params, cfg, x_t, k, v, ln, rope, lat_pos, boundary,
+                ts[idxs], dts[idxs], **common,
             )
 
         if len(idx_on) and len(idx_off) and idx_on.min() > idx_off.min():
@@ -450,6 +546,7 @@ class BagelEngine:
         cfg_renorm_min: float = 0.0,
         cfg_renorm_type: str = "global",
         image_shapes: Tuple[int, int] = (1024, 1024),
+        enable_taylorseer: bool = False,
         rng: Optional[jax.Array] = None,
     ) -> List[Union[str, np.ndarray]]:
         output = []
@@ -505,7 +602,8 @@ class BagelEngine:
             cfg_text_scale=cfg_text_scale, cfg_img_scale=cfg_img_scale,
             cfg_interval=cfg_interval, timestep_shift=timestep_shift,
             num_timesteps=num_timesteps, cfg_renorm_min=cfg_renorm_min,
-            cfg_renorm_type=cfg_renorm_type, rng=rng,
+            cfg_renorm_type=cfg_renorm_type,
+            enable_taylorseer=enable_taylorseer, rng=rng,
         )
         output.append(img)
         return output

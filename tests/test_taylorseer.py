@@ -1,0 +1,85 @@
+"""TaylorSeer schedule + math + engine integration."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from bagel_tpu.inference.taylorseer import (
+    taylor_eval,
+    taylor_update,
+    taylorseer_schedule,
+)
+
+
+def test_schedule_matches_reference_cal_type():
+    """Replicate cal_type (taylorseer.py:79-114) step by step."""
+    num_steps, thresh, enhance = 20, 3, 5
+    sch = taylorseer_schedule(num_steps, thresh, enhance)
+
+    counter = 0
+    expected = []
+    for step in range(num_steps):
+        first = step < enhance
+        if first or counter == thresh - 1:
+            expected.append(True)
+            counter = 0
+        else:
+            counter += 1
+            expected.append(False)
+    np.testing.assert_array_equal(sch.is_full, expected)
+    # x offsets on taylor steps count from the last full step
+    assert sch.x_off[5] == 1.0 and sch.x_off[6] == 2.0
+    assert sch.is_full[7] and sch.x_off[7] == 0.0
+
+
+def test_taylor_exact_on_polynomial():
+    """With enough full observations of a quadratic signal, extrapolation is
+    exact (finite differences of polynomials)."""
+    max_order = 2
+
+    def f(s):  # quadratic in step index
+        return jnp.asarray([1.0 + 2.0 * s + 0.5 * s * s])
+
+    factors = jnp.zeros((max_order + 1, 1), jnp.float32)
+    n_valid = jnp.zeros((), jnp.int32)
+    # observe at steps 0, 1, 2 (delta 1, growing order)
+    for s in range(3):
+        factors, n_valid = taylor_update(
+            factors, n_valid, f(s), jnp.asarray(1.0), jnp.asarray(True)
+        )
+    assert int(n_valid) == 3
+    # forward-difference Taylor of a quadratic predicts s=3,4 exactly... up
+    # to the forward-difference bias: f(s+x) = f0 + x*df + x^2/2*d2f with
+    # df, d2f the *backward* differences at s=2. For a quadratic, second
+    # difference is exact (=a*2), first difference is f(2)-f(1) = slope at
+    # midpoint 1.5: prediction error = a*x (Taylor-vs-difference mismatch).
+    pred = taylor_eval(factors, n_valid, jnp.asarray(1.0))
+    exact = f(3)[0]
+    assert abs(float(pred[0]) - float(exact)) < 0.51  # bounded, small
+
+
+def test_engine_taylorseer_runs_and_tracks_plain():
+    from bagel_tpu.configs import tiny_bagel
+    from bagel_tpu.data.tokenizer import MockTokenizer
+    from bagel_tpu.inference.engine import BagelEngine
+    from bagel_tpu.models.bagel import init_bagel_params
+
+    cfg = tiny_bagel()
+    tok = MockTokenizer(cfg.llm.vocab_size)
+    params = init_bagel_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    eng = BagelEngine(params, cfg, tok, tok.new_token_ids, max_kv=512)
+
+    kwargs = dict(
+        text="a tree", image_shapes=(32, 32), num_timesteps=8,
+        cfg_text_scale=2.0, cfg_img_scale=1.0, timestep_shift=1.0,
+        rng=jax.random.PRNGKey(5),
+    )
+    plain = eng(**kwargs)["image"]
+    fast = eng(enable_taylorseer=True, **kwargs)["image"]
+    assert fast.shape == plain.shape
+    # same seed, mostly-full schedule at 8 steps -> images stay close
+    diff = np.abs(plain.astype(np.float32) - fast.astype(np.float32)).mean()
+    assert diff < 60.0, diff
+    assert np.isfinite(fast.astype(np.float32)).all()
