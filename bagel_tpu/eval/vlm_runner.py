@@ -1,0 +1,203 @@
+"""VLM evaluation runner + scorers.
+
+The reference's eval/vlm family (InternVL-style per-benchmark torchrun
+scripts with InferenceSampler rank sharding calling Bagel.chat,
+eval/vlm/eval/*) collapses into one generic runner: a jsonl of
+{image, question, answer?, category?, index?} rows is sharded across
+processes, answered via the engine's understanding mode, and merged to a
+results jsonl. Pure-python scorers cover the non-LLM-judged benchmarks:
+yes/no suites (MME accuracy/accuracy+, POPE precision/recall/F1) and
+multiple-choice extraction (MMBench/MMMU style). GPT-judged suites plug a
+callable judge into score_with_judge.
+
+  python -m bagel_tpu.eval.vlm_runner --checkpoint ... --data qa.jsonl \
+      --image_root imgs/ --out results.jsonl [--score yesno|choice]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+from typing import Callable, Dict, List, Optional
+
+
+def load_rows(path: str) -> List[dict]:
+    rows = []
+    with open(path) as f:
+        for i, line in enumerate(f):
+            if line.strip():
+                row = json.loads(line)
+                row.setdefault("index", i)
+                rows.append(row)
+    return rows
+
+
+def shard(rows: List[dict], rank: int, world: int) -> List[dict]:
+    return rows[rank::world]
+
+
+def run_eval(
+    engine,
+    vit_transform,
+    rows: List[dict],
+    image_root: str = "",
+    max_length: int = 256,
+    think: bool = False,
+) -> List[dict]:
+    from PIL import Image
+
+    from bagel_tpu.data.transforms import pil_img2rgb
+
+    results = []
+    for row in rows:
+        image = None
+        if row.get("image"):
+            img = pil_img2rgb(Image.open(os.path.join(image_root, row["image"])))
+            image = vit_transform(img)
+        out = engine(
+            image=image, text=row.get("question") or row.get("text"),
+            understanding_output=True, think=think,
+            max_think_token_n=max_length,
+        )
+        results.append({**row, "prediction": out["text"]})
+    return results
+
+
+# ---------------------------------------------------------------------------
+# Scorers
+# ---------------------------------------------------------------------------
+
+
+def _norm_yesno(text: str) -> Optional[str]:
+    t = text.strip().lower()
+    if t.startswith("yes") or " yes" in t[:16]:
+        return "yes"
+    if t.startswith("no") or " no" in t[:16]:
+        return "no"
+    return None
+
+
+def score_yesno(results: List[dict]) -> Dict[str, float]:
+    """MME/POPE-family: accuracy, accuracy+ (both questions of an image
+    correct — eval/vlm/eval/mme/calculation.py semantics), precision/recall/
+    F1 on 'yes'."""
+    tp = fp = tn = fn = unk = 0
+    by_image: Dict[str, List[bool]] = {}
+    for r in results:
+        gt = str(r["answer"]).strip().lower()
+        pred = _norm_yesno(r["prediction"] or "")
+        correct = pred == gt
+        by_image.setdefault(str(r.get("image", r["index"])), []).append(correct)
+        if pred is None:
+            unk += 1
+            continue
+        if pred == "yes" and gt == "yes":
+            tp += 1
+        elif pred == "yes" and gt == "no":
+            fp += 1
+        elif pred == "no" and gt == "no":
+            tn += 1
+        else:
+            fn += 1
+    n = len(results)
+    acc = (tp + tn) / max(n, 1)
+    acc_plus = sum(all(v) for v in by_image.values()) / max(len(by_image), 1)
+    precision = tp / max(tp + fp, 1)
+    recall = tp / max(tp + fn, 1)
+    f1 = 2 * precision * recall / max(precision + recall, 1e-8)
+    return dict(accuracy=acc, accuracy_plus=acc_plus, precision=precision,
+                recall=recall, f1=f1, unknown_rate=unk / max(n, 1),
+                mme_score=100 * (acc + acc_plus))
+
+
+def extract_choice(text: str, choices: str = "ABCD") -> Optional[str]:
+    """Multiple-choice letter extraction (MMBench/MMMU answer parsing)."""
+    if not text:
+        return None
+    t = text.strip()
+    m = re.match(rf"^[\(\[]?([{choices}])[\)\].:,\s]", t + " ")
+    if m:
+        return m.group(1)
+    m = re.search(rf"answer is[:\s]+[\(\[]?([{choices}])", t, re.I)
+    if m:
+        return m.group(1).upper()
+    m = re.search(rf"\b([{choices}])\b", t)
+    return m.group(1) if m else None
+
+
+def score_choice(results: List[dict]) -> Dict[str, float]:
+    correct = total = 0
+    per_cat: Dict[str, List[bool]] = {}
+    for r in results:
+        pred = extract_choice(r["prediction"] or "")
+        ok = pred is not None and pred == str(r["answer"]).strip().upper()
+        per_cat.setdefault(r.get("category", "all"), []).append(ok)
+        correct += ok
+        total += 1
+    out = {"accuracy": correct / max(total, 1)}
+    for cat, oks in per_cat.items():
+        out[f"acc/{cat}"] = sum(oks) / len(oks)
+    return out
+
+
+def score_exact(results: List[dict]) -> Dict[str, float]:
+    """VQA-style relaxed exact match."""
+    ok = 0
+    for r in results:
+        pred = (r["prediction"] or "").strip().lower().rstrip(".")
+        ans = str(r["answer"]).strip().lower()
+        ok += pred == ans or ans in pred
+    return {"accuracy": ok / max(len(results), 1)}
+
+
+def score_with_judge(results: List[dict], judge: Callable[[dict], float]):
+    """GPT-judged suites (MMVet / MathVista / WISE-style): `judge` maps one
+    result row to a score in [0, 1]."""
+    scores = [judge(r) for r in results]
+    return {"judge_score": sum(scores) / max(len(scores), 1)}
+
+
+SCORERS = {
+    "yesno": score_yesno,
+    "choice": score_choice,
+    "exact": score_exact,
+}
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser("bagel_tpu vlm eval")
+    p.add_argument("--checkpoint", type=str, default=None)
+    p.add_argument("--mesh", type=str, default=None)
+    p.add_argument("--data", type=str, required=True)
+    p.add_argument("--image_root", type=str, default="")
+    p.add_argument("--out", type=str, required=True)
+    p.add_argument("--score", type=str, default=None, choices=list(SCORERS))
+    p.add_argument("--max_length", type=int, default=256)
+    p.add_argument("--think", action="store_true")
+    p.add_argument("--max_kv", type=int, default=8192)
+    p.add_argument("--max_latent_size", type=int, default=64)
+    args = p.parse_args(argv)
+
+    import jax
+
+    from bagel_tpu.serving.app import build_engine
+
+    engine, vae_tf, vit_tf = build_engine(args)
+    rows = shard(load_rows(args.data), jax.process_index(), jax.process_count())
+    results = run_eval(engine, vit_tf, rows, args.image_root,
+                       args.max_length, args.think)
+    out_path = (
+        args.out if jax.process_count() == 1
+        else f"{args.out}.rank{jax.process_index()}"
+    )
+    with open(out_path, "w") as f:
+        for r in results:
+            f.write(json.dumps(r) + "\n")
+    if args.score and jax.process_count() == 1:
+        print(json.dumps(SCORERS[args.score](results), indent=2))
+
+
+if __name__ == "__main__":
+    main()
