@@ -71,10 +71,10 @@ class SequenceBuilder:
         # packed lists
         self.text_ids: List[int] = []
         self.text_idx: List[int] = []
-        self.position_ids: List[int] = []
-        self.document_id: List[int] = []
-        self.fan_id: List[int] = []
-        self.noise_id: List[int] = []
+        # sequence metadata as compact span descriptors expanded by the
+        # native packer at finalize (bagel_tpu/native/packing.cc):
+        # (doc, fan, noise, n_tokens, rope_mode, rope_start, out_offset)
+        self.spans: List[tuple] = []
         self.ce_idx: List[int] = []
         self.ce_labels: List[int] = []
         self.ce_weight: List[float] = []
@@ -103,13 +103,13 @@ class SequenceBuilder:
         return fan, noi
 
     def _push_meta(self, n: int, doc: int, fan: int, noi: int, pos):
-        self.document_id.extend([doc] * n)
-        self.fan_id.extend([fan] * n)
-        self.noise_id.extend([noi] * n)
+        """Record one split's metadata; pos is an int (constant rope id for
+        image splits) or a range start tuple ('seq', start)."""
+        offset = self.curr - n
         if isinstance(pos, int):
-            self.position_ids.extend([pos] * n)
+            self.spans.append((doc, fan, noi, n, 1, pos, offset))
         else:
-            self.position_ids.extend(pos)
+            self.spans.append((doc, fan, noi, n, 0, pos[1], offset))
 
     # -- pack one sample (pack_sequence parity) ------------------------------
 
@@ -157,8 +157,7 @@ class SequenceBuilder:
                 self.curr += 1
                 split_len += 1
                 self._push_meta(
-                    split_len, doc, split_fan, split_noi,
-                    list(range(curr_rope, curr_rope + split_len)),
+                    split_len, doc, split_fan, split_noi, ("seq", curr_rope)
                 )
                 curr_rope += split_len
                 sample_len += split_len
@@ -326,17 +325,13 @@ def finalize(
         np.concatenate(builder.vae_pos_ids, 0) if n_vae else [], vae_bucket
     )
 
-    seq_doc = np.zeros(s, np.int32)
-    seq_fan = np.full(s, -1, np.int32)
-    seq_noi = np.full(s, -1, np.int32)
-    seq_pos = np.zeros(s, np.int32)
+    from bagel_tpu.native import pack_spans
+
+    spans = np.asarray(builder.spans, np.int64).reshape(-1, 7)
+    seq_doc, seq_fan, seq_noi, seq_pos = pack_spans(spans, s)
     gen_mask = np.zeros(s, bool)
-    nreal = builder.curr
-    seq_doc[:nreal] = builder.document_id
-    seq_fan[:nreal] = builder.fan_id
-    seq_noi[:nreal] = builder.noise_id
-    seq_pos[:nreal] = builder.position_ids
-    gen_mask[np.asarray(builder.vae_idx, np.int64)] = True
+    if builder.vae_idx:
+        gen_mask[np.asarray(builder.vae_idx, np.int64)] = True
 
     batch = PackedTrainBatch(
         text_ids=jnp.asarray(pad_val(builder.text_ids, text_bucket)),

@@ -126,9 +126,9 @@ def test_t2i_dataset_and_packer(corpora, pieces):
 
     builder = SequenceBuilder(pcfg, tok.new_token_ids)
     builder.pack_sample(sample)
-    assert builder.curr == len(builder.document_id)
+    assert builder.curr == sum(sp[3] for sp in builder.spans)
     # text split causal, vae split is 'noise' (loss image)
-    assert max(builder.noise_id) >= 0
+    assert max(sp[2] for sp in builder.spans) >= 0
 
     host = finalize(
         builder, seq_bucket=128, vit_patch_dim=cfg.vit.patch_dim,
