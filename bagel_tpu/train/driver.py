@@ -262,7 +262,14 @@ def main(argv=None):
             patch_latent_dim=cfg.patch_latent_dim,
         ),
     )
-    data_iter = iter(packer)
+    from bagel_tpu.data.loader import PrefetchLoader
+
+    loader = PrefetchLoader(
+        iter(packer),
+        state.params["vae"] if cfg.visual_gen else None,
+        cfg, jax.random.PRNGKey(args.seed + 77),
+    )
+    data_iter = iter(loader)
 
     grad_step, apply_step = make_grad_and_apply(cfg, tx, args)
     meter = ThroughputMeter(cfg.llm, n_chips=jax.device_count())
@@ -273,12 +280,8 @@ def main(argv=None):
             grads_acc = None
             metrics = None
             for _ in range(args.gradient_accumulation_steps):
-                host = next(data_iter)
-                rng, r1, r2 = jax.random.split(rng, 3)
-                if cfg.visual_gen:
-                    batch = encode_vae_images(state.params["vae"], cfg, host, r1)
-                else:
-                    batch = host.batch
+                batch, data_indexes = next(data_iter)
+                rng, r2 = jax.random.split(rng)
                 bb = stack_batches([batch])
                 bb = shard_batch(mesh, bb)
                 noise = jax.random.normal(
@@ -288,7 +291,7 @@ def main(argv=None):
                 grads_acc = g if grads_acc is None else jax.tree.map(
                     jnp.add, grads_acc, g
                 )
-                data_status = update_data_status(data_status, host.data_indexes)
+                data_status = update_data_status(data_status, data_indexes)
                 meter.update(int(batch.position_ids.shape[0]))
             if args.gradient_accumulation_steps > 1:
                 grads_acc = jax.tree.map(

@@ -85,6 +85,45 @@ def run_bench(depth: int, image: int, steps: int, dtype_name: str):
     return elapsed
 
 
+def run_decode_bench(depth: int, dtype_name: str, prompt_len: int = 512,
+                     new_tokens: int = 64):
+    """VQA greedy-decode tokens/sec on the depth-reduced MoT stack."""
+    import jax
+    import jax.numpy as jnp
+
+    from bagel_tpu.configs import Qwen2Config
+    from bagel_tpu.models import (
+        decode_text, embed_tokens, init_qwen2_params, kv_cache_init,
+        llm_extend,
+    )
+
+    dtype = jnp.bfloat16 if dtype_name == "bf16" else jnp.float32
+    cfg = Qwen2Config(num_hidden_layers=depth)
+    params = init_qwen2_params(jax.random.PRNGKey(0), cfg, dtype)
+    cache = kv_cache_init(cfg, 1, prompt_len + new_tokens + 128, dtype)
+    ids = jax.random.randint(jax.random.PRNGKey(1), (1, prompt_len), 0,
+                             cfg.vocab_size)
+    _, cache = jax.jit(
+        lambda p, e, c: llm_extend(
+            p, cfg, e, jnp.arange(prompt_len)[None], c,
+            jnp.asarray([prompt_len]), und_len=prompt_len, causal=True,
+            update_cache=True,
+        )
+    )(params, embed_tokens(params, ids), cache)
+
+    def run(c):
+        return decode_text(
+            params, cfg, c, jnp.asarray([3]), jnp.asarray([prompt_len]),
+            max_steps=new_tokens, eos_id=-1,
+        )
+    toks, _ = jax.jit(run)(cache)
+    toks.block_until_ready()
+    t0 = time.perf_counter()
+    toks, _ = jax.jit(run)(cache)
+    toks.block_until_ready()
+    return new_tokens / (time.perf_counter() - t0)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--preset", default="auto", choices=["auto", "tiny", "full"])
@@ -97,9 +136,14 @@ def main():
     if args.depth is not None:
         # child mode: one attempt, fresh process (avoids HBM fragmentation
         # from previous failed attempts)
-        elapsed = run_bench(args.depth, args.image, args.steps,
-                            "bf16" if args.preset == "full" else "fp32")
+        dt = "bf16" if args.preset == "full" else "fp32"
+        elapsed = run_bench(args.depth, args.image, args.steps, dt)
         print(f"ELAPSED {elapsed}")
+        try:
+            tok_s = run_decode_bench(args.depth, dt)
+            print(f"DECODE {tok_s}")
+        except Exception:
+            pass
         return
 
     import jax
@@ -112,6 +156,7 @@ def main():
 
     full_depth = 28
     elapsed = None
+    decode_tok_s = None
     if platform == "cpu":
         elapsed = run_bench(depths[0], image, steps, dtype)
         depth = depths[0]
@@ -128,7 +173,8 @@ def main():
             for line in proc.stdout.splitlines():
                 if line.startswith("ELAPSED "):
                     elapsed = float(line.split()[1])
-                    break
+                if line.startswith("DECODE "):
+                    decode_tok_s = float(line.split()[1])
             if elapsed is not None:
                 break
             print(f"# depth {depth} failed, retrying smaller", file=sys.stderr)
@@ -155,6 +201,11 @@ def main():
             "note": "3-branch batched CFG denoise scan; linear depth/step extrapolation; baseline = 2 img/s/chip driver target",
         },
     }
+    if decode_tok_s is not None:
+        result["detail"]["vqa_decode_tok_per_s_measured"] = round(decode_tok_s, 2)
+        result["detail"]["vqa_decode_tok_per_s_28layer_extrapolated"] = round(
+            decode_tok_s * depth / full_depth, 2
+        )
     print(json.dumps(result))
 
 

@@ -1,0 +1,77 @@
+"""Demo walkthrough of every inference mode (inference.ipynb equivalent).
+
+Runs against a real checkpoint when --checkpoint is given, else a random
+micro model (shapes/flow only, outputs are noise).
+
+  python examples/demo.py [--checkpoint /path/BAGEL-7B-MoT] [--mesh 1,8,1]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--mesh", default=None)
+    ap.add_argument("--outdir", default="demo_out")
+    ap.add_argument("--max_kv", type=int, default=None)
+    args = ap.parse_args()
+
+    import jax
+    from PIL import Image
+
+    from bagel_tpu.serving.app import build_engine
+
+    real = args.checkpoint is not None
+    args.max_kv = args.max_kv or (8192 if real else 512)
+    args.max_latent_size = 64
+    engine, vae_tf, vit_tf = build_engine(args)
+    os.makedirs(args.outdir, exist_ok=True)
+
+    size = 1024 if real else 32
+    steps = 50 if real else 2
+    common = dict(num_timesteps=steps, timestep_shift=3.0 if real else 1.0,
+                  cfg_text_scale=4.0 if real else 2.0)
+
+    print("== text-to-image ==")
+    out = engine(text="a kitten playing a tiny piano", image_shapes=(size, size),
+                 rng=jax.random.PRNGKey(42), **common)
+    Image.fromarray(out["image"]).save(f"{args.outdir}/t2i.png")
+
+    print("== think-mode generation ==")
+    out = engine(text="a crocodile in a lab coat", think=True,
+                 image_shapes=(size, size), max_think_token_n=64, **common)
+    print("thinking:", (out["text"] or "")[:200])
+    Image.fromarray(out["image"]).save(f"{args.outdir}/t2i_think.png")
+
+    print("== editing ==")
+    src = np.asarray(Image.open(f"{args.outdir}/t2i.png"), np.float32)
+    src = src / 127.5 - 1.0
+    out = engine(image=src, text="make it nighttime",
+                 cfg_img_scale=1.5 if real else 1.0,
+                 cfg_renorm_type="text_channel", **common)
+    Image.fromarray(out["image"]).save(f"{args.outdir}/edit.png")
+
+    print("== understanding ==")
+    out = engine(image=src, text="describe this image",
+                 understanding_output=True, max_think_token_n=64)
+    print("answer:", (out["text"] or "")[:200])
+
+    print("== think-mode understanding ==")
+    out = engine(image=src, text="how many animals are there?",
+                 understanding_output=True, think=True, max_think_token_n=64)
+    print("answer:", (out["text"] or "")[:200])
+
+    print(f"done -> {args.outdir}/")
+
+
+if __name__ == "__main__":
+    main()
