@@ -294,7 +294,9 @@ class BagelEngine:
         self.max_kv = -(-max_kv // 256) * 256  # flash kernel block multiple
         self.vae_transform = vae_transform
         self.vit_transform = vit_transform
-        self.cache_dtype = params["llm"]["embed"].dtype
+        emb = params["llm"]["embed"]
+        # quantized embeddings are {'w_q', 'row_scale'} dicts -> bf16 compute
+        self.cache_dtype = jnp.bfloat16 if isinstance(emb, dict) else emb.dtype
         if cfg.interpolate_pos:
             self._pos_ids = flattened_position_ids_interpolate
         else:

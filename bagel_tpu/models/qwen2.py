@@ -106,7 +106,19 @@ def _dense(key, d_in, d_out, dtype, bias: bool, std=0.02):
 
 
 def _linear(x, p, precision=None):
-    out = jnp.dot(x, p["w"], preferred_element_type=jnp.float32,
+    """Matmul over a weight leaf: {'w': ...[, 'b']}, a bare array, or an
+    int8 weight-only dict {'w_q', 'scale'[, 'b']} (utils/quant.py) which
+    dequantizes to x.dtype at use — int8 at rest, one layer live at a time
+    under the scan."""
+    if not isinstance(p, dict):
+        p = {"w": p}
+    if "w_q" in p:
+        w = (
+            p["w_q"].astype(jnp.float32) * p["scale"][..., None, :]
+        ).astype(x.dtype)
+    else:
+        w = p["w"]
+    out = jnp.dot(x, w, preferred_element_type=jnp.float32,
                   precision=precision)
     if "b" in p:
         out = out + p["b"].astype(jnp.float32)
@@ -297,9 +309,9 @@ def _layer_extend(
     def ffn(mlp, pln):
         def f(z):
             z = rms_norm(z, pln, cfg.rms_norm_eps)
-            gate = _linear(z, {"w": mlp["gate"]}, precision)
-            up = _linear(z, {"w": mlp["up"]}, precision)
-            return _linear(jax.nn.silu(gate) * up, {"w": mlp["down"]}, precision)
+            gate = _linear(z, mlp["gate"], precision)
+            up = _linear(z, mlp["up"], precision)
+            return _linear(jax.nn.silu(gate) * up, mlp["down"], precision)
 
         return f
 
@@ -367,15 +379,24 @@ def llm_extend(
 
 
 def embed_tokens(params: dict, ids: jax.Array) -> jax.Array:
-    return params["embed"][ids]
+    emb = params["embed"]
+    if isinstance(emb, dict):  # int8 rows with per-row scales
+        rows = emb["w_q"][ids].astype(jnp.float32)
+        return (rows * emb["row_scale"][ids][..., None]).astype(jnp.bfloat16)
+    return emb[ids]
 
 
 def lm_logits(params: dict, hidden: jax.Array, precision=None) -> jax.Array:
-    out = jnp.dot(
-        hidden, params["lm_head"]["w"],
-        preferred_element_type=jnp.float32, precision=precision,
+    head = params["lm_head"]
+    if "w_q" in head:
+        w = (
+            head["w_q"].astype(jnp.float32) * head["scale"][None, :]
+        ).astype(hidden.dtype)
+    else:
+        w = head["w"]
+    return jnp.dot(
+        hidden, w, preferred_element_type=jnp.float32, precision=precision,
     )
-    return out
 
 
 # ---------------------------------------------------------------------------
@@ -490,9 +511,9 @@ def llm_forward_train(
 
         def ffn(mlp, pln):
             z = rms_norm(x, pln, eps)
-            gate = _linear(z, {"w": mlp["gate"]}, precision)
-            up = _linear(z, {"w": mlp["up"]}, precision)
-            return _linear(jax.nn.silu(gate) * up, {"w": mlp["down"]}, precision)
+            gate = _linear(z, mlp["gate"], precision)
+            up = _linear(z, mlp["up"], precision)
+            return _linear(jax.nn.silu(gate) * up, mlp["down"], precision)
 
         if cfg.use_moe:
             pln_g = lp["post_ln_gen"] if mot else lp["post_ln"]

@@ -21,6 +21,8 @@ import json
 import sys
 import time
 
+import numpy as np
+
 
 def _build(depth: int, image: int, dtype_name: str):
     import jax
@@ -31,13 +33,26 @@ def _build(depth: int, image: int, dtype_name: str):
     from bagel_tpu.models import qwen2
     from bagel_tpu.models.bagel import init_bagel_params, shifted_timesteps
 
-    dtype = jnp.bfloat16 if dtype_name == "bf16" else jnp.float32
+    dtype = jnp.bfloat16 if dtype_name in ("bf16", "int8") else jnp.float32
     llm = Qwen2Config(num_hidden_layers=depth)
     cfg = BagelConfig(
         llm=llm, vit=None, vae=VAEConfig(), visual_und=False,
         max_latent_size=64, timestep_shift=3.0,
     )
-    params = init_bagel_params(jax.random.PRNGKey(0), cfg, dtype=dtype)
+    if dtype_name == "int8":
+        # init + quantize on host CPU (the bf16 model does not fit HBM),
+        # then ship int8 weights to the chip.
+        from bagel_tpu.utils.quant import quantize_bagel_params
+
+        cpu = jax.local_devices(backend="cpu")[0]
+        with jax.default_device(cpu):
+            params = init_bagel_params(jax.random.PRNGKey(0), cfg, dtype=dtype)
+            params = quantize_bagel_params(params)
+            params = jax.tree.map(lambda x: np.asarray(x), params)
+        dev = jax.devices()[0]
+        params = jax.tree.map(lambda x: jax.device_put(x, dev), params)
+    else:
+        params = init_bagel_params(jax.random.PRNGKey(0), cfg, dtype=dtype)
 
     down = cfg.latent_downsample  # 16
     h = w = image // down
@@ -97,9 +112,20 @@ def run_decode_bench(depth: int, dtype_name: str, prompt_len: int = 512,
         llm_extend,
     )
 
-    dtype = jnp.bfloat16 if dtype_name == "bf16" else jnp.float32
+    dtype = jnp.bfloat16 if dtype_name in ("bf16", "int8") else jnp.float32
     cfg = Qwen2Config(num_hidden_layers=depth)
-    params = init_qwen2_params(jax.random.PRNGKey(0), cfg, dtype)
+    if dtype_name == "int8":
+        from bagel_tpu.utils.quant import quantize_llm_params
+
+        cpu = jax.local_devices(backend="cpu")[0]
+        with jax.default_device(cpu):
+            params = init_qwen2_params(jax.random.PRNGKey(0), cfg, dtype)
+            params = quantize_llm_params(params)
+            params = jax.tree.map(lambda x: np.asarray(x), params)
+        dev = jax.devices()[0]
+        params = jax.tree.map(lambda x: jax.device_put(x, dev), params)
+    else:
+        params = init_qwen2_params(jax.random.PRNGKey(0), cfg, dtype)
     cache = kv_cache_init(cfg, 1, prompt_len + new_tokens + 128, dtype)
     ids = jax.random.randint(jax.random.PRNGKey(1), (1, prompt_len), 0,
                              cfg.vocab_size)
@@ -131,12 +157,14 @@ def main():
     ap.add_argument("--image", type=int, default=None)
     ap.add_argument("--depth", type=int, default=None,
                     help="internal: run one depth and print elapsed seconds")
+    ap.add_argument("--dtype", type=str, default="bf16",
+                    choices=["bf16", "fp32", "int8"])
     args = ap.parse_args()
 
     if args.depth is not None:
         # child mode: one attempt, fresh process (avoids HBM fragmentation
         # from previous failed attempts)
-        dt = "bf16" if args.preset == "full" else "fp32"
+        dt = args.dtype
         elapsed = run_bench(args.depth, args.image, args.steps, dt)
         print(f"ELAPSED {elapsed}")
         try:
@@ -150,24 +178,26 @@ def main():
 
     platform = jax.devices()[0].platform
     if args.preset == "tiny" or (args.preset == "auto" and platform == "cpu"):
-        depths, image, steps, dtype = [2], args.image or 256, args.steps or 2, "fp32"
+        attempts, image, steps = [(2, "fp32")], args.image or 256, args.steps or 2
     else:
-        depths, image, steps, dtype = [8, 4, 2], args.image or 1024, args.steps or 50, "bf16"
+        # full 28-layer int8 first (no depth extrapolation), bf16 fallbacks
+        attempts = [(28, "int8"), (8, "bf16"), (4, "bf16")]
+        image, steps = args.image or 1024, args.steps or 50
 
     full_depth = 28
     elapsed = None
     decode_tok_s = None
     if platform == "cpu":
-        elapsed = run_bench(depths[0], image, steps, dtype)
-        depth = depths[0]
+        depth, dtype = attempts[0]
+        elapsed = run_bench(depth, image, steps, dtype)
     else:
         import subprocess
 
-        for depth in depths:
+        for depth, dtype in attempts:
             proc = subprocess.run(
                 [sys.executable, __file__, "--depth", str(depth),
                  "--image", str(image), "--steps", str(steps),
-                 "--preset", "full"],
+                 "--preset", "full", "--dtype", dtype],
                 capture_output=True, text=True, timeout=3000,
             )
             for line in proc.stdout.splitlines():
@@ -177,7 +207,8 @@ def main():
                     decode_tok_s = float(line.split()[1])
             if elapsed is not None:
                 break
-            print(f"# depth {depth} failed, retrying smaller", file=sys.stderr)
+            print(f"# depth {depth}/{dtype} failed, retrying smaller",
+                  file=sys.stderr)
     if elapsed is None:
         print(json.dumps({"metric": "bench_failed", "value": 0, "unit": "",
                           "vs_baseline": 0}))

@@ -1,0 +1,79 @@
+"""int8 weight-only quantization: accuracy + end-to-end drop-in."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from bagel_tpu.configs import tiny_qwen2
+from bagel_tpu.models.qwen2 import (
+    decode_text,
+    embed_tokens,
+    init_qwen2_params,
+    kv_cache_init,
+    llm_extend,
+    lm_logits,
+)
+from bagel_tpu.utils.quant import (
+    dequantize_weight,
+    quantize_llm_params,
+    quantize_weight,
+)
+
+
+def test_roundtrip_error_small():
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.standard_normal((64, 128)).astype(np.float32) * 0.03)
+    q = quantize_weight(w)
+    assert q["w_q"].dtype == jnp.int8 and q["scale"].shape == (128,)
+    back = dequantize_weight(q, jnp.float32)
+    rel = float(jnp.abs(back - w).max() / jnp.abs(w).max())
+    assert rel < 0.01  # per-channel int8: <1% of the channel max
+
+
+def test_quantized_llm_outputs_close():
+    cfg = tiny_qwen2(layer_module="mot")
+    params = init_qwen2_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    qparams = quantize_llm_params(params)
+    assert qparams["layers"]["attn"]["q"]["w_q"].dtype == jnp.int8
+    assert qparams["embed"]["w_q"].dtype == jnp.int8
+
+    T = 12
+    ids = jax.random.randint(jax.random.PRNGKey(1), (1, T), 0, cfg.vocab_size)
+    pos = jnp.arange(T)[None]
+    cache = kv_cache_init(cfg, 1, 32, jnp.float32)
+
+    ref, _ = llm_extend(
+        params, cfg, embed_tokens(params, ids), pos, cache, jnp.asarray([T]),
+        und_len=T, causal=True, update_cache=False, precision="float32",
+    )
+    got, _ = llm_extend(
+        qparams, cfg, embed_tokens(qparams, ids).astype(jnp.float32), pos,
+        cache, jnp.asarray([T]),
+        und_len=T, causal=True, update_cache=False, precision="float32",
+    )
+    err = float(jnp.abs(got - ref).mean() / jnp.abs(ref).mean())
+    assert err < 0.05, err
+
+    # greedy decode still runs and produces mostly matching tokens
+    cache_f = kv_cache_init(cfg, 1, 64, jnp.float32)
+    _, cache_f = llm_extend(
+        params, cfg, embed_tokens(params, ids), pos, cache_f,
+        jnp.asarray([T]), und_len=T, causal=True, update_cache=True,
+        precision="float32",
+    )
+    toks_f, _ = decode_text(params, cfg, cache_f, jnp.asarray([1]),
+                            jnp.asarray([T]), max_steps=6, eos_id=-1,
+                            precision="float32")
+    cache_q = kv_cache_init(cfg, 1, 64, jnp.float32)
+    _, cache_q = llm_extend(
+        qparams, cfg, embed_tokens(qparams, ids).astype(jnp.float32), pos,
+        cache_q, jnp.asarray([T]), und_len=T, causal=True, update_cache=True,
+        precision="float32",
+    )
+    toks_q, _ = decode_text(qparams, cfg, cache_q, jnp.asarray([1]),
+                            jnp.asarray([T]), max_steps=6, eos_id=-1,
+                            precision="float32")
+    # random-init logits are near-uniform so argmax may flip; just sanity
+    assert toks_q.shape == toks_f.shape
