@@ -36,7 +36,10 @@ import jax.numpy as jnp
 from bagel_tpu.configs import BagelConfig
 from bagel_tpu.data.transforms import len2weight, patchify_image
 from bagel_tpu.models.bagel import PackedTrainBatch
-from bagel_tpu.ops.embeds import flattened_position_ids_extrapolate
+from bagel_tpu.ops.embeds import (
+    flattened_position_ids_extrapolate,
+    flattened_position_ids_interpolate,
+)
 
 NEG_INF = float("-inf")
 
@@ -52,6 +55,10 @@ class PackerConfig:
     max_latent_size: int = 32
     vit_patch_size: int = 14
     max_num_patch_per_side: int = 70
+    interpolate_pos: bool = False
+    # len2weight CE reweighting (pretrain flag ce_loss_reweighting, off by
+    # default — pretrain_unified_navit.py:700-707)
+    ce_loss_reweighting: bool = False
 
 
 class SequenceBuilder:
@@ -65,6 +72,10 @@ class SequenceBuilder:
         self.sp = special_tokens
         self.rng = rng or pyrandom.Random(0)
         self.np_rng = np_rng or np.random.default_rng(0)
+        self._pos_fn = (
+            flattened_position_ids_interpolate
+            if cfg.interpolate_pos else flattened_position_ids_extrapolate
+        )
         self.curr = 0
         self.split_counter = 0
         self.doc_counter = 0
@@ -141,7 +152,10 @@ class SequenceBuilder:
                 self.text_ids.extend(shifted)
                 self.text_idx.extend(range(start, start + len(shifted)))
                 if item["loss"] == 1:
-                    w = len2weight(len(shifted))
+                    w = (
+                        len2weight(len(shifted))
+                        if self.cfg.ce_loss_reweighting else 1.0
+                    )
                     self.ce_idx.extend(range(start, start + len(shifted)))
                     self.ce_weight.extend([w] * len(shifted))
                     self.ce_labels.extend(list(text_ids) + [self.sp["eos_token_id"]])
@@ -181,7 +195,7 @@ class SequenceBuilder:
                 self.vit_seg_ids.extend([self.vit_image_count] * n)
                 self.vit_pos_ids.append(
                     np.asarray(
-                        flattened_position_ids_extrapolate(
+                        self._pos_fn(
                             image.shape[0], image.shape[1],
                             self.cfg.vit_patch_size,
                             self.cfg.max_num_patch_per_side,
@@ -228,7 +242,7 @@ class SequenceBuilder:
                 self.vae_latent_shapes.append((h, w))
                 self.vae_pos_ids.append(
                     np.asarray(
-                        flattened_position_ids_extrapolate(
+                        self._pos_fn(
                             image.shape[0], image.shape[1], down,
                             self.cfg.max_latent_size,
                         )

@@ -417,6 +417,7 @@ def llm_forward_train(
     mask: jax.Array,  # [S, S] bool attention mask (train_packed_mask)
     gen_mask: jax.Array,  # [S] bool, True = gen-expert (VAE) token
     precision=None,
+    remat: bool = True,
 ) -> jax.Array:
     """Training forward over one packed multi-sample sequence.
 
@@ -527,6 +528,11 @@ def llm_forward_train(
         x = res + m.astype(res.dtype)
         return x, None
 
+    if remat:
+        # per-layer activation checkpointing (the reference wraps decoder
+        # layers in apply_activation_checkpointing NO_REENTRANT,
+        # pretrain_unified_navit.py:567-573)
+        body = jax.checkpoint(body)
     x, _ = lax.scan(body, x, params["layers"])
 
     if cfg.use_moe:

@@ -109,6 +109,9 @@ def parse_args(argv=None):
     p.add_argument("--auto_resume", action="store_true")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--profile_dir", type=str, default=None)
+    p.add_argument("--wandb_project", type=str, default=None,
+                   help="enable wandb logging (gated on install)")
+    p.add_argument("--wandb_name", type=str, default=None)
     return p.parse_args(argv)
 
 
@@ -275,6 +278,16 @@ def main(argv=None):
     meter = ThroughputMeter(cfg.llm, n_chips=jax.device_count())
     rng = jax.random.PRNGKey(args.seed + 1000 * rank)
 
+    wandb_run = None
+    if args.wandb_project and rank == 0:
+        try:
+            import wandb
+
+            wandb_run = wandb.init(project=args.wandb_project,
+                                   name=args.wandb_name, config=vars(args))
+        except ImportError:
+            logger.info("wandb not installed; skipping")
+
     with mesh:
         for step in range(start_step, args.total_steps):
             grads_acc = None
@@ -313,6 +326,13 @@ def main(argv=None):
                     f"mfu: {w['mfu'] * 100:.1f}%"
                 )
                 logger.info(msg)
+                if wandb_run is not None:
+                    wandb_run.log(
+                        {k: float(v) for k, v in metrics.items()}
+                        | {"tokens_per_sec": w["tokens_per_sec"],
+                           "mfu": w["mfu"]},
+                        step=step,
+                    )
                 meter.reset()
 
             if step > start_step and step % args.save_every == 0 and rank == 0:
