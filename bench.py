@@ -24,6 +24,57 @@ import time
 import numpy as np
 
 
+def _fast_quantized_llm(cfg, rng: "np.random.Generator"):
+    """Throughput-bench params: random int8 weights built directly with
+    numpy (jax PRNG init of 14B on the single host core takes ~1h; the
+    bench measures speed, not sample quality). Structure matches
+    utils.quant.quantize_llm_params output."""
+    import jax.numpy as jnp
+
+    L, d, hd = cfg.num_hidden_layers, cfg.hidden_size, cfg.head_dim
+    qd = cfg.num_attention_heads * hd
+    kvd = cfg.num_key_value_heads * hd
+    f = cfg.intermediate_size
+    v = cfg.vocab_size
+
+    def q(shape):
+        return {
+            "w_q": jnp.asarray(rng.integers(-127, 127, shape, dtype=np.int8)),
+            "scale": jnp.full(shape[-1:], 2e-4, jnp.float32),
+        }
+
+    def attn():
+        return {
+            "q": {**q((L, d, qd)), "b": jnp.zeros((L, qd), jnp.bfloat16)},
+            "k": {**q((L, d, kvd)), "b": jnp.zeros((L, kvd), jnp.bfloat16)},
+            "v": {**q((L, d, kvd)), "b": jnp.zeros((L, kvd), jnp.bfloat16)},
+            "o": q((L, qd, d)),
+            "q_norm": jnp.ones((L, hd), jnp.float32),
+            "k_norm": jnp.ones((L, hd), jnp.float32),
+        }
+
+    def mlp():
+        return {"gate": q((L, d, f)), "up": q((L, d, f)), "down": q((L, f, d))}
+
+    return {
+        "embed": {
+            "w_q": jnp.asarray(rng.integers(-127, 127, (v, d), dtype=np.int8)),
+            "row_scale": jnp.full((v,), 2e-4, jnp.float32),
+        },
+        "layers": {
+            "attn": attn(), "attn_gen": attn(),
+            "mlp": mlp(), "mlp_gen": mlp(),
+            "input_ln": jnp.ones((L, d), jnp.float32),
+            "input_ln_gen": jnp.ones((L, d), jnp.float32),
+            "post_ln": jnp.ones((L, d), jnp.float32),
+            "post_ln_gen": jnp.ones((L, d), jnp.float32),
+        },
+        "final_norm": jnp.ones((d,), jnp.float32),
+        "final_norm_gen": jnp.ones((d,), jnp.float32),
+        "lm_head": q((d, v)),
+    }
+
+
 def _build(depth: int, image: int, dtype_name: str):
     import jax
     import jax.numpy as jnp
@@ -40,17 +91,12 @@ def _build(depth: int, image: int, dtype_name: str):
         max_latent_size=64, timestep_shift=3.0,
     )
     if dtype_name == "int8":
-        # init + quantize on host CPU (the bf16 model does not fit HBM),
-        # then ship int8 weights to the chip.
-        from bagel_tpu.utils.quant import quantize_bagel_params
+        rng = np.random.default_rng(0)
+        import dataclasses as _dc
 
-        cpu = jax.local_devices(backend="cpu")[0]
-        with jax.default_device(cpu):
-            params = init_bagel_params(jax.random.PRNGKey(0), cfg, dtype=dtype)
-            params = quantize_bagel_params(params)
-            params = jax.tree.map(lambda x: np.asarray(x), params)
-        dev = jax.devices()[0]
-        params = jax.tree.map(lambda x: jax.device_put(x, dev), params)
+        small = _dc.replace(cfg, llm=_dc.replace(llm, num_hidden_layers=1))
+        params = init_bagel_params(jax.random.PRNGKey(0), small, dtype=dtype)
+        params["llm"] = _fast_quantized_llm(llm, rng)
     else:
         params = init_bagel_params(jax.random.PRNGKey(0), cfg, dtype=dtype)
 
@@ -115,15 +161,7 @@ def run_decode_bench(depth: int, dtype_name: str, prompt_len: int = 512,
     dtype = jnp.bfloat16 if dtype_name in ("bf16", "int8") else jnp.float32
     cfg = Qwen2Config(num_hidden_layers=depth)
     if dtype_name == "int8":
-        from bagel_tpu.utils.quant import quantize_llm_params
-
-        cpu = jax.local_devices(backend="cpu")[0]
-        with jax.default_device(cpu):
-            params = init_qwen2_params(jax.random.PRNGKey(0), cfg, dtype)
-            params = quantize_llm_params(params)
-            params = jax.tree.map(lambda x: np.asarray(x), params)
-        dev = jax.devices()[0]
-        params = jax.tree.map(lambda x: jax.device_put(x, dev), params)
+        params = _fast_quantized_llm(cfg, np.random.default_rng(0))
     else:
         params = init_qwen2_params(jax.random.PRNGKey(0), cfg, dtype)
     cache = kv_cache_init(cfg, 1, prompt_len + new_tokens + 128, dtype)
