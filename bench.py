@@ -232,12 +232,17 @@ def main():
         import subprocess
 
         for depth, dtype in attempts:
-            proc = subprocess.run(
-                [sys.executable, __file__, "--depth", str(depth),
-                 "--image", str(image), "--steps", str(steps),
-                 "--preset", "full", "--dtype", dtype],
-                capture_output=True, text=True, timeout=3000,
-            )
+            try:
+                proc = subprocess.run(
+                    [sys.executable, __file__, "--depth", str(depth),
+                     "--image", str(image), "--steps", str(steps),
+                     "--preset", "full", "--dtype", dtype],
+                    capture_output=True, text=True, timeout=2100,
+                )
+            except subprocess.TimeoutExpired:
+                print(f"# depth {depth}/{dtype} timed out, falling back",
+                      file=sys.stderr)
+                continue
             for line in proc.stdout.splitlines():
                 if line.startswith("ELAPSED "):
                     elapsed = float(line.split()[1])
