@@ -565,15 +565,20 @@ def decode_text(
     do_sample: bool = False,
     rng: Optional[jax.Array] = None,
     precision=None,
+    early_stop: bool = True,
 ) -> Tuple[jax.Array, KVCache]:
-    """Autoregressive decode, one jitted scan. Returns [B, max_steps] tokens
-    (eos-padded with eos_id after stop) and the final cache."""
+    """Autoregressive decode in one jitted loop. Returns [B, max_steps]
+    tokens (eos-padded after stop) and the final cache.
+
+    early_stop=True uses lax.while_loop and exits as soon as every row hit
+    eos (the reference's Python loop break, bagel.py:996); False uses a
+    fixed-length scan (differentiable, deterministic step count).
+    """
     b = start_tokens.shape[0]
     if rng is None:
         rng = jax.random.PRNGKey(0)
 
-    def step(carry, _):
-        cache, tok, pos, done, rng = carry
+    def one_step(cache, tok, pos, done, rng):
         embeds = embed_tokens(params, tok)[:, None, :]
         hidden, cache = llm_extend(
             params, cfg, embeds, pos[:, None], cache,
@@ -586,12 +591,36 @@ def decode_text(
             nxt = jax.random.categorical(sub, logits / temperature, axis=-1)
         else:
             nxt = jnp.argmax(logits, axis=-1)
-        nxt = nxt.astype(tok.dtype)
-        nxt = jnp.where(done, eos_id, nxt)
+        nxt = jnp.where(done, eos_id, nxt.astype(tok.dtype))
         done = done | (nxt == eos_id)
-        return (cache, nxt, pos + 1, done, rng), nxt
+        return cache, nxt, pos + 1, done, rng
 
     done0 = jnp.zeros((b,), bool)
+    if early_stop:
+        out0 = jnp.full((b, max_steps), eos_id, start_tokens.dtype)
+
+        def cond(state):
+            step, _, _, _, done, _, _ = state
+            return (step < max_steps) & ~jnp.all(done)
+
+        def body(state):
+            step, cache, tok, pos, done, rng, out = state
+            cache, nxt, pos, done, rng = one_step(cache, tok, pos, done, rng)
+            out = lax.dynamic_update_slice(out, nxt[:, None], (0, step))
+            return (step + 1, cache, tok.at[:].set(nxt), pos, done, rng, out)
+
+        (_, cache, _, _, _, _, toks) = lax.while_loop(
+            cond, body,
+            (jnp.zeros((), jnp.int32), cache, start_tokens, position_ids,
+             done0, rng, out0),
+        )
+        return toks, cache
+
+    def step(carry, _):
+        cache, tok, pos, done, rng = carry
+        cache, nxt, pos, done, rng = one_step(cache, tok, pos, done, rng)
+        return (cache, nxt, pos, done, rng), nxt
+
     (cache, _, _, _, _), toks = lax.scan(
         step,
         (cache, start_tokens, position_ids, done0, rng),
