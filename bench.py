@@ -38,9 +38,11 @@ def _fast_quantized_llm(cfg, rng: "np.random.Generator"):
     v = cfg.vocab_size
 
     def q(shape):
+        # stacked weights [L, in, out] carry per-layer scales [L, out]
+        scale_shape = (shape[0], shape[-1]) if len(shape) == 3 else shape[-1:]
         return {
             "w_q": jnp.asarray(rng.integers(-127, 127, shape, dtype=np.int8)),
-            "scale": jnp.full(shape[-1:], 2e-4, jnp.float32),
+            "scale": jnp.full(scale_shape, 2e-4, jnp.float32),
         }
 
     def attn():

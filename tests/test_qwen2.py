@@ -120,6 +120,24 @@ def test_mot_gen_expert_equals_und_at_init(cfg, params):
     )
 
 
+def test_decode_early_stop_matches_scan(cfg, params):
+    """while_loop early-exit decode must emit the same tokens as the
+    fixed-length scan."""
+    cache = kv_cache_init(cfg, 1, 64, dtype=jnp.float32)
+    ids = jax.random.randint(jax.random.PRNGKey(9), (1, 7), 0, cfg.vocab_size)
+    embeds = embed_tokens(params, ids)
+    _, cache = llm_extend(
+        params, cfg, embeds, jnp.arange(7)[None], cache, jnp.asarray([7]),
+        und_len=7, causal=True, update_cache=True, precision=PREC,
+    )
+    kwargs = dict(max_steps=6, eos_id=2, precision=PREC)
+    toks_w, _ = decode_text(params, cfg, cache, jnp.asarray([1]),
+                            jnp.asarray([7]), early_stop=True, **kwargs)
+    toks_s, _ = decode_text(params, cfg, cache, jnp.asarray([1]),
+                            jnp.asarray([7]), early_stop=False, **kwargs)
+    np.testing.assert_array_equal(np.asarray(toks_w), np.asarray(toks_s))
+
+
 def test_decode_text_runs_and_stops(cfg, params):
     cache = kv_cache_init(cfg, 2, 64, dtype=jnp.float32)
     ids = jax.random.randint(jax.random.PRNGKey(4), (2, 5), 0, cfg.vocab_size)
