@@ -232,6 +232,7 @@ def bagel_forward_train(
     batch: PackedTrainBatch,
     noise: jax.Array,  # [n_vae, patch_latent_dim] flow noise
     precision=None,
+    attn_chunk=None,
 ) -> Dict[str, jax.Array]:
     """Packed training forward -> per-element losses.
 
@@ -273,10 +274,17 @@ def bagel_forward_train(
         )
         seq = seq.at[batch.vae_idx].set(lat_emb)
 
-    mask = train_packed_mask(batch.document_id, batch.fan_id, batch.noise_id)
+    if attn_chunk is None:
+        mask = train_packed_mask(
+            batch.document_id, batch.fan_id, batch.noise_id
+        )
+        meta = None
+    else:  # long sequences: no dense [S, S] mask materialization
+        mask = None
+        meta = (batch.document_id, batch.fan_id, batch.noise_id)
     hidden = qwen2.llm_forward_train(
         params["llm"], cfg.llm, seq, batch.position_ids, mask,
-        batch.gen_mask, precision,
+        batch.gen_mask, precision, mask_meta=meta, attn_chunk=attn_chunk,
     )
 
     out: Dict[str, jax.Array] = {}

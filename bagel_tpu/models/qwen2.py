@@ -414,10 +414,12 @@ def llm_forward_train(
     cfg: Qwen2Config,
     packed: jax.Array,  # [S, d] pre-assembled embeddings
     position_ids: jax.Array,  # [S]
-    mask: jax.Array,  # [S, S] bool attention mask (train_packed_mask)
+    mask: Optional[jax.Array],  # [S, S] bool (train_packed_mask) or None
     gen_mask: jax.Array,  # [S] bool, True = gen-expert (VAE) token
     precision=None,
     remat: bool = True,
+    mask_meta: Optional[Tuple[jax.Array, jax.Array, jax.Array]] = None,
+    attn_chunk: Optional[int] = None,
 ) -> jax.Array:
     """Training forward over one packed multi-sample sequence.
 
@@ -426,6 +428,11 @@ def llm_forward_train(
     reference's index-scatter (qwen2_navit.py:713-755) but MXU-friendly.
     freeze_und applies stop_gradient to und-token contributions at the same
     points as the reference (:434-448, 737-748, 980-1013).
+
+    Attention: `mask` (dense [S, S]) for moderate S; for long packed
+    sequences pass mask_meta=(document_id, fan_id, noise_id) with
+    attn_chunk=N to use the O(chunk*S)-memory chunked attention
+    (ops/chunked.py) instead of materializing the mask.
 
     Returns final hidden states [S, d] (post final-norm, expert-selected).
     """
@@ -436,6 +443,26 @@ def llm_forward_train(
     mot = cfg.layer_module == "mot"
     eps = cfg.rms_norm_eps
     cos, sin = rope_cos_sin(position_ids, hd, cfg.rope_theta)
+
+    if attn_chunk is not None:
+        assert mask_meta is not None, "attn_chunk needs (doc, fan, noise) ids"
+        from bagel_tpu.ops.chunked import chunked_packed_attention
+
+        doc_id, fan_id_, noi_id = mask_meta
+
+        def attend(q, k, v):
+            return chunked_packed_attention(
+                q, k, v, doc_id, fan_id_, noi_id, chunk=attn_chunk,
+                precision=precision,
+            )
+    else:
+        assert mask is not None
+
+        def attend(q, k, v):
+            return dot_attention(
+                q[None], k[None], v[None], mask=mask[None],
+                precision=precision,
+            )[0]
 
     def freeze_und(x):
         if cfg.freeze_und:
@@ -494,9 +521,7 @@ def llm_forward_train(
         q, k = apply_rope(q, k, cos, sin)
         q = q.astype(v.dtype)
         k = k.astype(v.dtype)
-        att = dot_attention(
-            q[None], k[None], v[None], mask=mask[None], precision=precision
-        )[0].reshape(s, h * hd)
+        att = attend(q, k, v).reshape(s, h * hd)
         if mot:
             o = _select(
                 gen_mask,

@@ -23,7 +23,6 @@ Design (pallas_guide.md):
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp

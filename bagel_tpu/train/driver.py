@@ -30,7 +30,6 @@ from bagel_tpu.data.datasets import build_grouped_datasets
 from bagel_tpu.data.packing import (
     PackedBatchIterator,
     PackerConfig,
-    encode_vae_images,
     stack_batches,
 )
 from bagel_tpu.data.tokenizer import load_tokenizer

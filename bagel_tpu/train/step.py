@@ -89,9 +89,11 @@ def compute_losses(
     ce_weight: float = 0.25,
     mse_weight: float = 1.0,
     precision=None,
+    attn_chunk=None,
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     outs = jax.vmap(
-        lambda b, n: bagel_forward_train(params, cfg, b, n, precision)
+        lambda b, n: bagel_forward_train(params, cfg, b, n, precision,
+                                         attn_chunk=attn_chunk)
     )(batch, noise)
 
     ce_w = outs["ce_weight"]

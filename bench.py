@@ -24,7 +24,8 @@ import time
 import numpy as np
 
 
-def _fast_quantized_llm(cfg, rng: "np.random.Generator"):
+def _fast_quantized_llm(cfg, rng: "np.random.Generator",
+                        vocab_rows: int = None, head_cols: int = None):
     """Throughput-bench params: random int8 weights built directly with
     numpy (jax PRNG init of 14B on the single host core takes ~1h; the
     bench measures speed, not sample quality). Structure matches
@@ -35,7 +36,10 @@ def _fast_quantized_llm(cfg, rng: "np.random.Generator"):
     qd = cfg.num_attention_heads * hd
     kvd = cfg.num_key_value_heads * hd
     f = cfg.intermediate_size
-    v = cfg.vocab_size
+    # the denoise loop reads only the 2 boundary-token embedding rows and
+    # never calls lm_head: callers can shrink both to fit full depth in HBM
+    v = vocab_rows or cfg.vocab_size
+    hc = head_cols or cfg.vocab_size
 
     def q(shape):
         # stacked weights [L, in, out] carry per-layer scales [L, out]
@@ -73,7 +77,7 @@ def _fast_quantized_llm(cfg, rng: "np.random.Generator"):
         },
         "final_norm": jnp.ones((d,), jnp.float32),
         "final_norm_gen": jnp.ones((d,), jnp.float32),
-        "lm_head": q((d, v)),
+        "lm_head": q((d, hc)),
     }
 
 
@@ -98,7 +102,8 @@ def _build(depth: int, image: int, dtype_name: str):
 
         small = _dc.replace(cfg, llm=_dc.replace(llm, num_hidden_layers=1))
         params = init_bagel_params(jax.random.PRNGKey(0), small, dtype=dtype)
-        params["llm"] = _fast_quantized_llm(llm, rng)
+        params["llm"] = _fast_quantized_llm(llm, rng, vocab_rows=8, head_cols=8)
+        params.pop("vae", None)  # denoise scan never touches the VAE
     else:
         params = init_bagel_params(jax.random.PRNGKey(0), cfg, dtype=dtype)
 
@@ -220,8 +225,8 @@ def main():
     if args.preset == "tiny" or (args.preset == "auto" and platform == "cpu"):
         attempts, image, steps = [(2, "fp32")], args.image or 256, args.steps or 2
     else:
-        # full 28-layer int8 first (no depth extrapolation), bf16 fallbacks
-        attempts = [(28, "int8"), (8, "bf16"), (4, "bf16")]
+        # full 28-layer int8 first (no depth extrapolation), then reduced
+        attempts = [(28, "int8"), (16, "int8"), (8, "bf16"), (4, "bf16")]
         image, steps = args.image or 1024, args.steps or 50
 
     full_depth = 28
