@@ -182,15 +182,16 @@ def run_decode_bench(depth: int, dtype_name: str, prompt_len: int = 512,
         )
     )(params, embed_tokens(params, ids), cache)
 
-    def run(c):
-        return decode_text(
+    run = jax.jit(
+        lambda c: decode_text(
             params, cfg, c, jnp.asarray([3]), jnp.asarray([prompt_len]),
             max_steps=new_tokens, eos_id=-1,
         )
-    toks, _ = jax.jit(run)(cache)
+    )
+    toks, _ = run(cache)
     toks.block_until_ready()
     t0 = time.perf_counter()
-    toks, _ = jax.jit(run)(cache)
+    toks, _ = run(cache)
     toks.block_until_ready()
     return new_tokens / (time.perf_counter() - t0)
 
@@ -225,8 +226,11 @@ def main():
     if args.preset == "tiny" or (args.preset == "auto" and platform == "cpu"):
         attempts, image, steps = [(2, "fp32")], args.image or 256, args.steps or 2
     else:
-        # full 28-layer int8 first (no depth extrapolation), then reduced
-        attempts = [(28, "int8"), (16, "int8"), (8, "bf16"), (4, "bf16")]
+        # bf16 depth-reduced attempts: reliable on the 16 GB chip. Full-depth
+        # int8 fits memory-wise but the host-side init + tunnel transfer of
+        # 14 GB exceeds any sane bench budget in this environment (NOTES.md);
+        # int8 serving is exercised in tests instead.
+        attempts = [(8, "bf16"), (4, "bf16")]
         image, steps = args.image or 1024, args.steps or 50
 
     full_depth = 28
