@@ -213,11 +213,14 @@ def main():
         dt = args.dtype
         elapsed = run_bench(args.depth, args.image, args.steps, dt)
         print(f"ELAPSED {elapsed}")
-        try:
-            tok_s = run_decode_bench(args.depth, dt)
-            print(f"DECODE {tok_s}")
-        except Exception:
-            pass
+        import os
+
+        if os.environ.get("BAGEL_BENCH_DECODE"):  # opt-in: extra compile
+            try:
+                tok_s = run_decode_bench(args.depth, dt)
+                print(f"DECODE {tok_s}")
+            except Exception:
+                pass
         return
 
     import jax
@@ -229,9 +232,11 @@ def main():
         # bf16 depth-reduced attempts: reliable on the 16 GB chip. Full-depth
         # int8 fits memory-wise but the host-side init + tunnel transfer of
         # 14 GB exceeds any sane bench budget in this environment (NOTES.md);
-        # int8 serving is exercised in tests instead.
+        # int8 serving is exercised in tests instead. 20 measured steps
+        # (denoise cost is step-linear; single-core XLA compile dominates
+        # wall time here, so keep the measured run short).
         attempts = [(8, "bf16"), (4, "bf16")]
-        image, steps = args.image or 1024, args.steps or 50
+        image, steps = args.image or 1024, args.steps or 20
 
     full_depth = 28
     elapsed = None
