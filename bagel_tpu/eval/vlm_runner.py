@@ -152,6 +152,33 @@ def score_exact(results: List[dict]) -> Dict[str, float]:
     return {"accuracy": ok / max(len(results), 1)}
 
 
+_NUM_RE = re.compile(r"-?\d+\.?\d*")
+
+
+def extract_number(text: str) -> Optional[float]:
+    """Last numeric value in the answer (MathVista-style extraction —
+    eval/vlm/eval/mathvista uses a GPT extractor; this is the offline
+    fallback)."""
+    if not text:
+        return None
+    m = _NUM_RE.findall(text.replace(",", ""))
+    return float(m[-1]) if m else None
+
+
+def score_numeric(results: List[dict], rel_tol: float = 1e-3) -> Dict[str, float]:
+    ok = total = 0
+    for r in results:
+        pred = extract_number(r["prediction"] or "")
+        try:
+            ans = float(str(r["answer"]).replace(",", ""))
+        except ValueError:
+            continue
+        total += 1
+        if pred is not None and abs(pred - ans) <= rel_tol * max(1.0, abs(ans)):
+            ok += 1
+    return {"accuracy": ok / max(total, 1), "scored": total}
+
+
 def score_with_judge(results: List[dict], judge: Callable[[dict], float]):
     """GPT-judged suites (MMVet / MathVista / WISE-style): `judge` maps one
     result row to a score in [0, 1]."""
@@ -163,6 +190,7 @@ SCORERS = {
     "yesno": score_yesno,
     "choice": score_choice,
     "exact": score_exact,
+    "numeric": score_numeric,
 }
 
 

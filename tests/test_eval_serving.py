@@ -101,3 +101,34 @@ def test_serving_one_shot_t2i(tmp_path):
     ])
     assert out.exists()
     assert np.asarray(Image.open(out)).shape == (32, 32, 3)
+
+
+def test_numeric_scorer():
+    from bagel_tpu.eval.vlm_runner import extract_number, score_numeric
+
+    assert extract_number("The answer is 42.") == 42.0
+    assert extract_number("about 1,234.5 meters") == 1234.5
+    assert extract_number("no digits here") is None
+    results = [
+        {"answer": "42", "prediction": "It is 42"},
+        {"answer": "3.14", "prediction": "roughly 3.14159"},
+        {"answer": "7", "prediction": "eight"},
+    ]
+    s = score_numeric(results)
+    # 42 exact, 3.14159 within rel_tol of 3.14, "eight" unparseable
+    assert s["scored"] == 3 and abs(s["accuracy"] - 2 / 3) < 1e-9
+
+
+def test_make_parquet_info(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bagel_tpu.data.make_parquet_info import build_parquet_info
+
+    d = tmp_path / "pq"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pylist([{"a": i} for i in range(10)]),
+                   d / "x.parquet", row_group_size=4)
+    info = build_parquet_info([str(d)])
+    (path, meta), = info.items()
+    assert meta["num_row_groups"] == 3 and meta["num_rows"] == 10
