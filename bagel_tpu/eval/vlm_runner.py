@@ -45,19 +45,34 @@ def run_eval(
     image_root: str = "",
     max_length: int = 256,
     think: bool = False,
+    batch_size: int = 1,
 ) -> List[dict]:
     from PIL import Image
 
     from bagel_tpu.data.transforms import pil_img2rgb
 
+    def load(row):
+        if not row.get("image"):
+            return None
+        img = pil_img2rgb(Image.open(os.path.join(image_root, row["image"])))
+        return vit_transform(img)
+
     results = []
+    if batch_size > 1 and not think:
+        # batched decode (chat_batch): B sessions per device pass
+        for i in range(0, len(rows), batch_size):
+            chunk = rows[i : i + batch_size]
+            answers = engine.chat_batch(
+                [load(r) for r in chunk],
+                [r.get("question") or r.get("text") for r in chunk],
+                max_length=max_length,
+            )
+            results.extend({**r, "prediction": a} for r, a in zip(chunk, answers))
+        return results
+
     for row in rows:
-        image = None
-        if row.get("image"):
-            img = pil_img2rgb(Image.open(os.path.join(image_root, row["image"])))
-            image = vit_transform(img)
         out = engine(
-            image=image, text=row.get("question") or row.get("text"),
+            image=load(row), text=row.get("question") or row.get("text"),
             understanding_output=True, think=think,
             max_think_token_n=max_length,
         )
@@ -203,6 +218,8 @@ def main(argv=None):
     p.add_argument("--out", type=str, required=True)
     p.add_argument("--score", type=str, default=None, choices=list(SCORERS))
     p.add_argument("--max_length", type=int, default=256)
+    p.add_argument("--batch_size", type=int, default=1,
+                   help=">1 enables batched prefill+decode (chat_batch)")
     p.add_argument("--think", action="store_true")
     p.add_argument("--max_kv", type=int, default=8192)
     p.add_argument("--max_latent_size", type=int, default=64)
@@ -215,7 +232,7 @@ def main(argv=None):
     engine, vae_tf, vit_tf = build_engine(args)
     rows = shard(load_rows(args.data), jax.process_index(), jax.process_count())
     results = run_eval(engine, vit_tf, rows, args.image_root,
-                       args.max_length, args.think)
+                       args.max_length, args.think, args.batch_size)
     out_path = (
         args.out if jax.process_count() == 1
         else f"{args.out}.rank{jax.process_index()}"

@@ -530,6 +530,125 @@ class BagelEngine:
         img = np.asarray(jnp.clip(img * 0.5 + 0.5, 0, 1) * 255).astype(np.uint8)
         return img
 
+    # -- batched understanding (beyond-reference: the reference decodes
+    # batch=1 only, bagel.py:996) --------------------------------------------
+
+    def chat_batch(
+        self,
+        images: List[Optional[np.ndarray]],
+        prompts: List[str],
+        max_length: int = 256,
+        do_sample: bool = False,
+        temperature: float = 1.0,
+        rng: Optional[jax.Array] = None,
+    ) -> List[str]:
+        """Answer B (image, prompt) pairs in one batched prefill + decode.
+
+        Rows without an image pass None. Per-row KV lengths and rope
+        positions ride the engine's ragged-batch machinery (per-row valid
+        lengths + append-only cache), so mixed image sizes and prompt
+        lengths batch together.
+        """
+        b = len(prompts)
+        assert len(images) == b
+        cache = kv_cache_init(self.cfg.llm, b, self.max_kv, self.cache_dtype)
+        kv_len = np.zeros(b, np.int64)
+        rope = np.zeros(b, np.int64)
+        boundary = self._boundary_ids()
+
+        # --- image blocks: [start, end, vit_tokens..., pad] per row --------
+        have_img = [i for i, im in enumerate(images) if im is not None]
+        if have_img:
+            patch = self.cfg.vit.patch_size
+            per_row = {}
+            all_patches, all_pos, all_seg = [], [], []
+            tok_offset = 0
+            for seg, i in enumerate(have_img, start=1):
+                img = self._crop_to_multiple(images[i], patch)
+                patches, pos, _, _ = self._prep_image_tokens(
+                    img, patch, self.cfg.vit_max_num_patch_per_side
+                )
+                per_row[i] = (tok_offset, patches.shape[0])
+                tok_offset += patches.shape[0]
+                all_patches.append(patches)
+                all_pos.append(pos)
+                all_seg.append(np.full(patches.shape[0], seg, np.int32))
+            flat = np.concatenate(all_patches, 0)
+            nb = _bucket(flat.shape[0], 64)
+            packed = np.zeros((nb, flat.shape[1]), np.float32)
+            packed[: flat.shape[0]] = flat
+            pos_p = np.zeros(nb, np.int32)
+            pos_p[: flat.shape[0]] = np.concatenate(all_pos, 0)
+            seg_p = np.zeros(nb, np.int32)
+            seg_p[: flat.shape[0]] = np.concatenate(all_seg, 0)
+
+            vit_emb = encode_vit_tokens(
+                self.params, self.cfg, jnp.asarray(packed, self.cache_dtype),
+                jnp.asarray(pos_p), jnp.asarray(seg_p),
+            )
+            tok_emb = qwen2.embed_tokens(self.params["llm"], boundary)
+
+            max_tok = max(n for (_, n) in per_row.values())
+            tb = _bucket(max_tok + 2, 64)
+            d = vit_emb.shape[-1]
+            blocks = jnp.zeros((b, tb, d), vit_emb.dtype)
+            valid = np.zeros(b, np.int32)
+            offsets = []
+            for i in have_img:
+                off, n = per_row[i]
+                row = jnp.concatenate(
+                    [tok_emb, vit_emb[off : off + n]], axis=0
+                )
+                blocks = blocks.at[i, : n + 2].set(row)
+                valid[i] = n + 2
+            _, cache = _extend_jit(
+                self.params, self.cfg, cache, blocks,
+                jnp.zeros((b, tb), jnp.int32), jnp.asarray(valid),
+                causal=False,
+            )
+            kv_len += valid
+            rope += (valid > 0).astype(np.int64)
+
+        # --- text blocks, causal, per-row rope offsets ----------------------
+        ids_list = [
+            [self.new_token_ids["bos_token_id"]]
+            + self.tokenizer.encode(p)
+            + [self.new_token_ids["eos_token_id"]]
+            for p in prompts
+        ]
+        tb = _bucket(max(len(x) for x in ids_list))
+        ids = np.zeros((b, tb), np.int32)
+        pos = np.zeros((b, tb), np.int32)
+        valid = np.zeros(b, np.int32)
+        for i, x in enumerate(ids_list):
+            ids[i, : len(x)] = x
+            pos[i, : len(x)] = rope[i] + np.arange(len(x))
+            valid[i] = len(x)
+        embeds = qwen2.embed_tokens(self.params["llm"], jnp.asarray(ids))
+        _, cache = _extend_jit(
+            self.params, self.cfg, cache, embeds, jnp.asarray(pos),
+            jnp.asarray(valid), causal=True,
+        )
+        kv_len += valid
+        rope += valid
+
+        toks, _ = _decode_jit(
+            self.params, self.cfg, cache,
+            jnp.full((b,), self.new_token_ids["bos_token_id"], jnp.int32),
+            jnp.asarray(rope, jnp.int32),
+            max_steps=max_length, eos_id=self.new_token_ids["eos_token_id"],
+            temperature=temperature, do_sample=do_sample,
+            rng=rng if rng is not None else jax.random.PRNGKey(0),
+        )
+        outs = []
+        eos = self.new_token_ids["eos_token_id"]
+        for row in np.asarray(toks):
+            row = row.tolist()
+            if eos in row:
+                row = row[: row.index(eos)]
+            outs.append(self.tokenizer.decode(row))
+        return outs
+
     # -- top-level interleaved API (inferencer.py:207-313 parity) -----------
 
     def interleave_inference(
@@ -621,6 +740,16 @@ class BagelEngine:
             else:
                 out["text"] = item
         return out
+
+
+@partial(jax.jit, static_argnames=("cfg", "causal"))
+def _extend_jit(params, cfg: BagelConfig, cache, embeds, pos, valid, *,
+                causal: bool):
+    """Batched und-mode block extend (ragged rows via per-row valid)."""
+    return qwen2.llm_extend(
+        params["llm"], cfg.llm, embeds, pos, cache, valid,
+        und_len=embeds.shape[1], causal=causal, update_cache=True,
+    )
 
 
 @partial(
