@@ -207,11 +207,14 @@ def _denoise_phase(
     return x_t
 
 
+TAYLORSEER_MAX_ORDER = 2
+
+
 @partial(
     jax.jit,
     static_argnames=(
         "cfg", "n_branches", "cfg_text_scale", "cfg_img_scale",
-        "cfg_renorm_type", "cfg_renorm_min", "max_order",
+        "cfg_renorm_type", "cfg_renorm_min",
     ),
 )
 def _denoise_phase_taylorseer(
@@ -228,27 +231,27 @@ def _denoise_phase_taylorseer(
     x_off,  # [K] float
     delta,  # [K] float
     grow,  # [K] bool
+    factors0,  # [O+1, B, N, pd] carried Taylor factors
+    n_valid0,  # [B] per-branch valid factor count
     n_branches: int,
     cfg_text_scale: float,
     cfg_img_scale: float,
     cfg_renorm_type: str,
     cfg_renorm_min: float,
-    max_order: int = 2,
 ):
     """Denoise scan with the TaylorSeer step cache: full LLM forwards on the
     scheduled steps, Taylor extrapolation of the per-branch velocity field in
-    between (inference/taylorseer.py rationale)."""
+    between (inference/taylorseer.py rationale). The factor cache enters and
+    leaves the phase so one schedule spans the whole 50-step run — the
+    reference keeps one cache_dic per branch for the entire generate_image
+    call (bagel.py:680-689), not per cfg_interval phase."""
     from bagel_tpu.inference.taylorseer import taylor_eval, taylor_update
 
     n = x_t.shape[0]
     b = n_branches
-    pd = x_t.shape[1]
     cache = KVCache(k=k_buf, v=v_buf, length=lengths)
     flow_v = _make_flow_v(params, cfg, n, b, boundary_ids, branch_rope,
                           cache, lat_pos)
-
-    factors0 = jnp.zeros((max_order + 1, b, n, pd), jnp.float32)
-    n_valid0 = jnp.zeros((), jnp.int32)
 
     def step(carry, xs):
         x_t, factors, n_valid = carry
@@ -267,11 +270,11 @@ def _denoise_phase_taylorseer(
                        cfg_renorm_type, cfg_renorm_min)
         return (x_t - v_t * dt, factors, n_valid), None
 
-    (x_t, _, _), _ = jax.lax.scan(
+    (x_t, factors, n_valid), _ = jax.lax.scan(
         step, (x_t, factors0, n_valid0),
         (timesteps, dts, is_full, x_off, delta, grow),
     )
-    return x_t
+    return x_t, factors, n_valid
 
 
 class BagelEngine:
@@ -491,26 +494,57 @@ class BagelEngine:
         if len(idx_on) and len(idx_off):
             assert idx_on.max() < idx_off.min() or idx_off.max() < idx_on.min()
 
+        if enable_taylorseer:
+            from bagel_tpu.inference.taylorseer import taylorseer_schedule
+
+            # one schedule over the whole run, sliced per phase — the cond
+            # branch's cache_dic spans all denoise steps in the reference
+            # (its current['step'] advances every step). len(ts) ==
+            # num_timesteps - 1 actual forwards (bagel.py:693-696).
+            sch = taylorseer_schedule(len(ts_np))
+
+        ts_carry = None  # (factors [O+1, b, n, pd], n_valid [b]) across phases
+
         def run(x_t, idxs, ctxs, text_s, img_s):
+            nonlocal ts_carry
             if len(idxs) == 0:
                 return x_t
             k, v, ln, rope = stacked(ctxs)
+            b = len(ctxs)
             common = dict(
-                n_branches=len(ctxs),
+                n_branches=b,
                 cfg_text_scale=text_s, cfg_img_scale=img_s,
                 cfg_renorm_type=cfg_renorm_type, cfg_renorm_min=cfg_renorm_min,
             )
             if enable_taylorseer:
-                from bagel_tpu.inference.taylorseer import taylorseer_schedule
-
-                sch = taylorseer_schedule(len(idxs))
-                return _denoise_phase_taylorseer(
+                if ts_carry is None:
+                    factors0 = jnp.zeros(
+                        (TAYLORSEER_MAX_ORDER + 1, b, n, pd), jnp.float32
+                    )
+                    n_valid0 = jnp.zeros((b,), jnp.int32)
+                else:
+                    f, nv = ts_carry
+                    bp = f.shape[1]
+                    if bp >= b:  # dropping CFG branches; branch 0 is cond
+                        factors0, n_valid0 = f[:, :b], nv[:b]
+                    else:  # new CFG branches enter with empty caches
+                        zpad = jnp.zeros(
+                            (f.shape[0], b - bp) + f.shape[2:], f.dtype
+                        )
+                        factors0 = jnp.concatenate([f, zpad], axis=1)
+                        n_valid0 = jnp.concatenate(
+                            [nv, jnp.zeros((b - bp,), nv.dtype)]
+                        )
+                x_t, f, nv = _denoise_phase_taylorseer(
                     self.params, cfg, x_t, k, v, ln, rope, lat_pos, boundary,
                     ts[idxs], dts[idxs],
-                    jnp.asarray(sch.is_full), jnp.asarray(sch.x_off),
-                    jnp.asarray(sch.delta), jnp.asarray(sch.grow),
+                    jnp.asarray(sch.is_full[idxs]), jnp.asarray(sch.x_off[idxs]),
+                    jnp.asarray(sch.delta[idxs]), jnp.asarray(sch.grow[idxs]),
+                    factors0, n_valid0,
                     **common,
                 )
+                ts_carry = (f, nv)
+                return x_t
             return _denoise_phase(
                 self.params, cfg, x_t, k, v, ln, rope, lat_pos, boundary,
                 ts[idxs], dts[idxs], **common,

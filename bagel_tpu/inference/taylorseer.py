@@ -61,23 +61,36 @@ def taylorseer_schedule(
     return TaylorSchedule(is_full, x_off, delta, grow)
 
 
+def _bmask(cond: jax.Array, like: jax.Array) -> jax.Array:
+    """Broadcast a scalar or per-branch [B] bool against factors[0]'s shape
+    [B, ...] (or any shape for scalar cond)."""
+    if cond.ndim == 0:
+        return cond
+    return cond.reshape(cond.shape + (1,) * (like.ndim - cond.ndim))
+
+
 def taylor_update(
     factors: jax.Array,  # [O+1, ...] stacked derivative factors
-    n_valid: jax.Array,  # [] int32: number of valid factors
+    n_valid: jax.Array,  # [] or [B] int32: number of valid factors
     feature: jax.Array,  # new observation (same shape as factors[0])
     delta: jax.Array,  # [] float: step distance since previous full step
     grow: jax.Array,  # [] bool
 ) -> Tuple[jax.Array, jax.Array]:
-    """Finite-difference derivative stack (derivative_approximation parity)."""
+    """Finite-difference derivative stack (derivative_approximation parity).
+
+    n_valid may be per-branch [B] when factors are [O+1, B, ...]: branches
+    that joined the run later (CFG branches entering mid-schedule) grow their
+    own order counts independently, matching the reference's three separate
+    cache dicts (bagel.py:680-689)."""
     max_order = factors.shape[0] - 1
     new = [feature]
     for i in range(max_order):
         fd = (new[i] - factors[i]) / delta
-        valid = grow & (i < n_valid)
+        valid = _bmask(grow & (i < n_valid), fd)
         new.append(jnp.where(valid, fd, jnp.zeros_like(fd)))
     stacked = jnp.stack(new, 0)
     new_n = jnp.where(grow, jnp.minimum(n_valid + 1, max_order + 1),
-                      jnp.ones((), n_valid.dtype))
+                      jnp.ones_like(n_valid))
     return stacked, new_n
 
 
@@ -90,5 +103,6 @@ def taylor_eval(
     for i in range(max_order + 1):
         coeff = (x**i) / math.factorial(i)
         term = factors[i] * coeff
-        out = out + jnp.where(i < n_valid, term, jnp.zeros_like(term))
+        out = out + jnp.where(_bmask(i < n_valid, term), term,
+                              jnp.zeros_like(term))
     return out

@@ -83,3 +83,69 @@ def test_engine_taylorseer_runs_and_tracks_plain():
     diff = np.abs(plain.astype(np.float32) - fast.astype(np.float32)).mean()
     assert diff < 60.0, diff
     assert np.isfinite(fast.astype(np.float32)).all()
+
+
+def test_phase_split_carries_factor_cache():
+    """Splitting a schedule across two _denoise_phase_taylorseer calls with
+    the factor cache threaded through must equal one continuous call — the
+    cross-cfg_interval boundary semantics of the reference (one cache_dic
+    per branch for the whole 50-step run, bagel.py:680-689)."""
+    import dataclasses
+
+    from bagel_tpu.configs import tiny_bagel
+    from bagel_tpu.inference.engine import (
+        TAYLORSEER_MAX_ORDER,
+        _denoise_phase_taylorseer,
+    )
+    from bagel_tpu.models import qwen2
+    from bagel_tpu.models.bagel import init_bagel_params, shifted_timesteps
+
+    cfg = tiny_bagel()
+    params = init_bagel_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    # llm2vae is zero-init per reference semantics (bagel.py:96-99), which
+    # makes the random-init velocity field constant; randomize it so Taylor
+    # extrapolation has signal to distinguish carried vs fresh caches.
+    params["llm2vae"]["w"] = 0.1 * jax.random.normal(
+        jax.random.PRNGKey(9), params["llm2vae"]["w"].shape, jnp.float32
+    )
+    n = 4  # latent tokens
+    pd = cfg.patch_latent_dim
+    steps = 12
+
+    cache = qwen2.kv_cache_init(cfg.llm, 1, 256, jnp.float32)
+    cache = dataclasses.replace(
+        cache, length=jnp.asarray([8], jnp.int32)
+    )
+    rope = jnp.asarray([8], jnp.int32)
+    lat_pos = jnp.zeros((n,), jnp.int32)
+    boundary = jnp.asarray([3, 4], jnp.int32)
+    x0 = jax.random.normal(jax.random.PRNGKey(1), (n, pd), jnp.float32)
+    ts_all, dts_all = shifted_timesteps(steps, 1.0)  # steps-1 entries
+    sch = taylorseer_schedule(len(ts_all))
+
+    common = dict(
+        n_branches=1, cfg_text_scale=1.0, cfg_img_scale=1.0,
+        cfg_renorm_type="global", cfg_renorm_min=0.0,
+    )
+    f0 = jnp.zeros((TAYLORSEER_MAX_ORDER + 1, 1, n, pd), jnp.float32)
+    nv0 = jnp.zeros((1,), jnp.int32)
+
+    def phase(x, f, nv, sl):
+        return _denoise_phase_taylorseer(
+            params, cfg, x, cache.k, cache.v, cache.length, rope, lat_pos,
+            boundary, ts_all[sl], dts_all[sl],
+            jnp.asarray(sch.is_full[sl]), jnp.asarray(sch.x_off[sl]),
+            jnp.asarray(sch.delta[sl]), jnp.asarray(sch.grow[sl]),
+            f, nv, **common,
+        )
+
+    x_full, _, _ = phase(x0, f0, nv0, slice(None))
+    # split at step 7 (mid-Taylor-cadence) and thread the cache
+    x_a, f_a, nv_a = phase(x0, f0, nv0, slice(0, 7))
+    x_b, _, _ = phase(x_a, f_a, nv_a, slice(7, steps))
+    np.testing.assert_allclose(
+        np.asarray(x_full), np.asarray(x_b), rtol=1e-5, atol=1e-5
+    )
+    # a fresh cache at the boundary must NOT reproduce the continuous run
+    x_c, _, _ = phase(x_a, f0, nv0, slice(7, steps))
+    assert np.abs(np.asarray(x_full) - np.asarray(x_c)).max() > 1e-6
