@@ -201,11 +201,91 @@ def score_with_judge(results: List[dict], judge: Callable[[dict], float]):
     return {"judge_score": sum(scores) / max(len(scores), 1)}
 
 
+def score_mme(results: List[dict]) -> Dict:
+    """Published MME tables: rows carry category=task, image, answer. Rows
+    pair up per (task, image) — exactly two questions per image."""
+    from collections import defaultdict
+
+    from bagel_tpu.eval.scorers.mme import mme_score
+
+    tasks = defaultdict(list)
+    for r in sorted(results, key=lambda r: (str(r.get("category", "all")),
+                                            str(r.get("image", r["index"])),
+                                            r["index"])):
+        tasks[r.get("category", "all")].append(
+            (str(r.get("image", r["index"])), str(r["answer"]).lower(),
+             r["prediction"] or "")
+        )
+    return mme_score(tasks)
+
+
+def score_mmmu(results: List[dict]) -> Dict:
+    """Published MMMU parsing: multi-choice rows carry 'options'
+    ({letter: text}); open rows are parsed for key sub-answers."""
+    from bagel_tpu.eval.scorers.mmmu import (
+        mmmu_accuracy,
+        parse_multi_choice_response,
+        parse_open_response,
+    )
+
+    samples = []
+    for r in results:
+        opts = r.get("options")
+        if opts:
+            qtype = "multiple-choice"
+            pred = parse_multi_choice_response(
+                r["prediction"] or "", list(opts.keys()), opts
+            )
+        else:
+            qtype = "open"
+            pred = parse_open_response(r["prediction"] or "")
+        samples.append({
+            "id": r["index"], "subject": r.get("category", "all"),
+            "question_type": qtype, "answer": r["answer"],
+            "parsed_pred": pred,
+        })
+    return mmmu_accuracy(samples)
+
+
+def score_mmbench(results: List[dict]) -> Dict:
+    """Published MMBench letter extraction + circular consistency."""
+    from bagel_tpu.eval.scorers.mmbench import (
+        extract_option_letter,
+        mmbench_accuracy,
+        mmbench_circular_accuracy,
+    )
+
+    rows = [{
+        "index": r["index"],
+        "prediction": extract_option_letter(r["prediction"] or "",
+                                            r.get("options", {})),
+        "answer": r["answer"],
+        "category": r.get("category", "all"),
+    } for r in results]
+    return {
+        "plain": mmbench_accuracy(rows),
+        "circular": mmbench_circular_accuracy(rows),
+    }
+
+
+def score_pope(results: List[dict]) -> Dict:
+    from bagel_tpu.eval.scorers.pope import pope_score
+
+    return pope_score([
+        (str(r["answer"]).strip().lower(), r["prediction"] or "")
+        for r in results
+    ])
+
+
 SCORERS = {
     "yesno": score_yesno,
     "choice": score_choice,
     "exact": score_exact,
     "numeric": score_numeric,
+    "mme": score_mme,
+    "mmmu": score_mmmu,
+    "mmbench": score_mmbench,
+    "pope": score_pope,
 }
 
 
@@ -225,6 +305,9 @@ def main(argv=None):
     p.add_argument("--max_latent_size", type=int, default=64)
     args = p.parse_args(argv)
 
+    if args.think and args.batch_size > 1:
+        p.error("--think decodes one session at a time; use --batch_size 1")
+
     import jax
 
     from bagel_tpu.serving.app import build_engine
@@ -233,15 +316,34 @@ def main(argv=None):
     rows = shard(load_rows(args.data), jax.process_index(), jax.process_count())
     results = run_eval(engine, vit_tf, rows, args.image_root,
                        args.max_length, args.think, args.batch_size)
+    nproc = jax.process_count()
     out_path = (
-        args.out if jax.process_count() == 1
-        else f"{args.out}.rank{jax.process_index()}"
+        args.out if nproc == 1 else f"{args.out}.rank{jax.process_index()}"
     )
     with open(out_path, "w") as f:
         for r in results:
             f.write(json.dumps(r) + "\n")
-    if args.score and jax.process_count() == 1:
-        print(json.dumps(SCORERS[args.score](results), indent=2))
+
+    if nproc > 1:
+        # wait for every rank's file, then merge + score on process 0
+        # (reference merges via all_gather_object, evaluate_mmbench.py:219-227)
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("vlm_eval_results")
+        if jax.process_index() != 0:
+            return
+        results = []
+        for r in range(nproc):
+            results.extend(load_rows(f"{args.out}.rank{r}"))
+        results.sort(key=lambda x: x["index"])
+        with open(args.out, "w") as f:
+            for r in results:
+                f.write(json.dumps(r) + "\n")
+    if args.score:
+        scores = SCORERS[args.score](results)
+        with open(args.out + ".scores.json", "w") as f:
+            json.dump(scores, f, indent=2, default=str)
+        print(json.dumps(scores, indent=2, default=str))
 
 
 if __name__ == "__main__":
