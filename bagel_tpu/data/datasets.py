@@ -187,20 +187,31 @@ class SftJSONLIterableDataset(DistributedIterable):
         self.set_epoch()
 
     def _elements(self, data, num_images):
+        """Flatten a LLaVA-style conversation into a typed element stream.
+
+        Assistant ('gpt') turns carry CE loss verbatim. Human turns may
+        embed `<image>` placeholders: each boundary k becomes an image slot
+        as long as k stays under the sample's image budget, and the text
+        between boundaries is emitted stripped (turns without a placeholder
+        pass through unstripped). Semantics match the reference's
+        change_format (vlm_dataset.py:68-95)."""
+        def human_turn(text):
+            segments = text.split("<image>")
+            if len(segments) == 1:
+                yield dict(type="text", has_loss=0, text=text)
+                return
+            for k, seg in enumerate(segments):
+                if seg.strip():
+                    yield dict(type="text", has_loss=0, text=seg.strip())
+                if k < len(segments) - 1 and k < num_images:
+                    yield dict(type="image")
+
         out = []
-        for conv in data["conversations"]:
-            if conv["from"] == "human":
-                if "<image>" not in conv["value"]:
-                    out.append(dict(type="text", has_loss=0, text=conv["value"]))
-                else:
-                    parts = conv["value"].split("<image>")
-                    for i, text in enumerate(parts):
-                        if text.strip():
-                            out.append(dict(type="text", has_loss=0, text=text.strip()))
-                        if i != len(parts) - 1 and i < num_images:
-                            out.append(dict(type="image"))
-            elif conv["from"] == "gpt":
-                out.append(dict(type="text", has_loss=1, text=conv["value"]))
+        for turn in data["conversations"]:
+            if turn["from"] == "human":
+                out.extend(human_turn(turn["value"]))
+            elif turn["from"] == "gpt":
+                out.append(dict(type="text", has_loss=1, text=turn["value"]))
         return out
 
     def __iter__(self):
@@ -419,37 +430,59 @@ class UnifiedEditIterableDataset(InterleavedBase, ParquetStandardIterableDataset
     targets get noised-VAE loss tokens (edit_dataset.py:19-72)."""
 
     def parse_row(self, row):
-        image_num = len(row["image_list"])
-        start_idx = random.choice(range(image_num - 1))
-        max_end = min(start_idx + 3, image_num)
-        end_idx = random.choice(range(start_idx + 1, max_end))
+        """One training sample from a multi-turn edit chain.
 
-        data = self._init_data()
+        Distribution-defining decision procedure (matches the reference's
+        edit_dataset.py:21-73 exactly, including the global-RNG draw order,
+        so seeded plans are byte-identical — see
+        tests/test_data_pipeline.py plan-parity test):
+
+        1. pick a window of 1-2 hops: uniform start frame, then uniform end
+           within two frames after it;
+        2. on multi-hop windows, flip a coin to FUSE: join the hop
+           instructions into one sentence and supervise only the window's
+           final frame (stepping the end back if it is the chain's last
+           frame) — context stays just the source image;
+        3. otherwise walk hop by hop: every intermediate target is both
+           supervised and re-encoded (VAE+ViT) as context for the next hop;
+           the final target is supervision only.
+        """
+        frames = row["image_list"]
+        hops = row["instruction_list"]  # hops[i] edits frame i -> i+1
+        n = len(frames)
+        start = random.choice(range(n - 1))
+        end = random.choice(range(start + 1, min(start + 3, n)))
+
+        def frame(i):
+            return pil_img2rgb(Image.open(io.BytesIO(frames[i])))
+
+        def hop_text(i):
+            return random.choice(hops[i - 1])  # instruction into frame i
+
         data = self._add_image(
-            data, pil_img2rgb(Image.open(io.BytesIO(row["image_list"][start_idx]))),
+            self._init_data(), frame(start),
             need_loss=False, need_vae=True, need_vit=True,
         )
 
-        if end_idx - start_idx > 1 and random.random() < 0.5:
-            if end_idx == image_num - 1:
-                end_idx -= 1
-            instruction = ""
-            for idx in range(start_idx + 1, end_idx + 1):
-                instruction += random.choice(row["instruction_list"][idx - 1]) + ". "
-            data = self._add_text(data, instruction.rstrip(), need_loss=False)
+        fuse = end - start > 1 and random.random() < 0.5
+        if fuse:
+            if end == n - 1:
+                end -= 1
+            sentence = ". ".join(hop_text(i) for i in range(start + 1, end + 1))
+            data = self._add_text(data, sentence + ".", need_loss=False)
             data = self._add_image(
-                data, pil_img2rgb(Image.open(io.BytesIO(row["image_list"][end_idx]))),
-                need_loss=True, need_vae=False, need_vit=False,
+                data, frame(end), need_loss=True, need_vae=False,
+                need_vit=False,
             )
-        else:
-            for idx in range(start_idx + 1, end_idx + 1):
-                instruction = random.choice(row["instruction_list"][idx - 1])
-                data = self._add_text(data, instruction, need_loss=False)
-                last = idx == end_idx
-                data = self._add_image(
-                    data, pil_img2rgb(Image.open(io.BytesIO(row["image_list"][idx]))),
-                    need_loss=True, need_vae=not last, need_vit=not last,
-                )
+            return data
+
+        for i in range(start + 1, end + 1):
+            data = self._add_text(data, hop_text(i), need_loss=False)
+            intermediate = i < end
+            data = self._add_image(
+                data, frame(i), need_loss=True,
+                need_vae=intermediate, need_vit=intermediate,
+            )
         return data
 
 

@@ -67,3 +67,87 @@ class PrefetchLoader:
 
     def stop(self):
         self._stop.set()
+
+
+def _mp_worker_main(factory, worker_id: int, num_workers: int, q, stop_evt):
+    """Subprocess entry: run one packer shard, push numpy HostBatches.
+
+    The worker must never touch a JAX backend (the parent holds the TPU
+    client); `factory` must build its iterator with as_device=False packing
+    and numpy-only transforms.
+    """
+    try:
+        for host in factory(worker_id, num_workers):
+            if stop_evt.is_set():
+                return
+            q.put(host)
+    except Exception as e:  # surface in the consumer
+        q.put(e)
+
+
+class MultiprocessLoader:
+    """N packing worker subprocesses feeding the device — the reference's
+    DataLoader(num_workers=N) equivalent (pretrain_unified_navit.py:625-650).
+
+    Each worker builds its own dataset shard (rank- then worker-sharded file
+    lists, distributed_iterable_dataset.py semantics) and runs the full
+    host-side pipeline: IO, PIL decode, resize, tokenize, pack, pad — in
+    parallel across cores. The parent process round-robin-consumes from a
+    shared queue and runs the frozen-VAE encode on device.
+
+    `factory(worker_id, num_workers)` -> iterator of HostBatch with numpy
+    arrays (packing.finalize(as_device=False)).
+    """
+
+    def __init__(
+        self,
+        factory,
+        num_workers: int,
+        vae_params,
+        cfg: BagelConfig,
+        rng: jax.Array,
+        prefetch_per_worker: int = 2,
+        start_method: str = "spawn",
+    ):
+        import multiprocessing as mp
+
+        assert num_workers >= 1
+        # spawn, not fork: the parent holds a live XLA client whose internal
+        # threads/locks make forked children deadlock-prone. factory must be
+        # picklable (a module-level function or functools.partial).
+        ctx = mp.get_context(start_method)
+        self.cfg = cfg
+        self.vae_params = vae_params
+        self.rng = rng
+        self.queue = ctx.Queue(maxsize=prefetch_per_worker * num_workers)
+        self._stop = ctx.Event()
+        self.procs = [
+            ctx.Process(
+                target=_mp_worker_main,
+                args=(factory, w, num_workers, self.queue, self._stop),
+                daemon=True,
+            )
+            for w in range(num_workers)
+        ]
+        for p in self.procs:
+            p.start()
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self.queue.get()
+        if isinstance(item, Exception):
+            raise item
+        self.rng, sub = jax.random.split(self.rng)
+        if self.cfg.visual_gen and item.vae_images:
+            batch = encode_vae_images(self.vae_params, self.cfg, item, sub)
+        else:
+            batch = item.batch
+        return batch, item.data_indexes
+
+    def stop(self):
+        self._stop.set()
+        for p in self.procs:
+            p.terminate()
+            p.join(timeout=5)

@@ -305,8 +305,13 @@ def finalize(
     ce_bucket: int = 128,
     vit_patch_dim: int = 588,
     patch_latent_dim: int = 64,
+    as_device: bool = True,
 ) -> HostBatch:
-    """Pad dynamic lists into static buckets (sink slot = seq_len-1)."""
+    """Pad dynamic lists into static buckets (sink slot = seq_len-1).
+
+    as_device=False keeps every array numpy — required inside data-worker
+    subprocesses, which must never touch a JAX backend (the device transfer
+    happens in the consuming process)."""
     s = _round_up(builder.curr + 1, seq_bucket)
     sink = s - 1
 
@@ -347,30 +352,31 @@ def finalize(
     if builder.vae_idx:
         gen_mask[np.asarray(builder.vae_idx, np.int64)] = True
 
+    conv = jnp.asarray if as_device else np.asarray
     batch = PackedTrainBatch(
-        text_ids=jnp.asarray(pad_val(builder.text_ids, text_bucket)),
-        text_idx=jnp.asarray(pad_idx(builder.text_idx, text_bucket)),
-        vit_patches=jnp.asarray(vit_patches),
-        vit_pos_ids=jnp.asarray(vit_pos),
-        vit_seg_ids=jnp.asarray(pad_val(builder.vit_seg_ids, vit_bucket)),
-        vit_idx=jnp.asarray(pad_idx(builder.vit_idx, vit_bucket)),
-        vae_patches=jnp.zeros((vae_b, patch_latent_dim), jnp.float32),
-        vae_pos_ids=jnp.asarray(vae_pos),
-        vae_idx=jnp.asarray(pad_idx(builder.vae_idx, vae_bucket)),
-        vae_timesteps=jnp.asarray(
+        text_ids=conv(pad_val(builder.text_ids, text_bucket)),
+        text_idx=conv(pad_idx(builder.text_idx, text_bucket)),
+        vit_patches=conv(vit_patches),
+        vit_pos_ids=conv(vit_pos),
+        vit_seg_ids=conv(pad_val(builder.vit_seg_ids, vit_bucket)),
+        vit_idx=conv(pad_idx(builder.vit_idx, vit_bucket)),
+        vae_patches=conv(np.zeros((vae_b, patch_latent_dim), np.float32)),
+        vae_pos_ids=conv(vae_pos),
+        vae_idx=conv(pad_idx(builder.vae_idx, vae_bucket)),
+        vae_timesteps=conv(
             pad_val(builder.vae_timesteps, vae_bucket, NEG_INF, np.float32)
         ),
-        position_ids=jnp.asarray(seq_pos),
-        document_id=jnp.asarray(seq_doc),
-        fan_id=jnp.asarray(seq_fan),
-        noise_id=jnp.asarray(seq_noi),
-        gen_mask=jnp.asarray(gen_mask),
-        ce_idx=jnp.asarray(pad_idx(builder.ce_idx, ce_bucket)),
-        ce_labels=jnp.asarray(pad_val(builder.ce_labels, ce_bucket)),
-        ce_weight=jnp.asarray(
+        position_ids=conv(seq_pos),
+        document_id=conv(seq_doc),
+        fan_id=conv(seq_fan),
+        noise_id=conv(seq_noi),
+        gen_mask=conv(gen_mask),
+        ce_idx=conv(pad_idx(builder.ce_idx, ce_bucket)),
+        ce_labels=conv(pad_val(builder.ce_labels, ce_bucket)),
+        ce_weight=conv(
             pad_val(builder.ce_weight, ce_bucket, 0.0, np.float32)
         ),
-        mse_weight=jnp.asarray(
+        mse_weight=conv(
             pad_val(builder.mse_weight, vae_bucket, 0.0, np.float32)
         ),
     )
@@ -399,7 +405,9 @@ def encode_vae_images(
         z = vae_encode(vae_params, cfg.vae, jnp.asarray(img)[None], rng=sub)[0]
         parts.append(patchify_latent(z, cfg.latent_patch_size))
     packed = jnp.concatenate(parts, 0)
-    vae_patches = host.batch.vae_patches.at[: packed.shape[0]].set(packed)
+    # host.batch may carry numpy leaves (worker-process finalize)
+    vae_patches = jnp.asarray(host.batch.vae_patches)
+    vae_patches = vae_patches.at[: packed.shape[0]].set(packed)
     return dataclasses.replace(host.batch, vae_patches=vae_patches)
 
 
@@ -577,6 +585,41 @@ def make_synthetic_batch(
     )
 
 
+# index fields scatter into the packed sequence; their pad entries must point
+# at a harmless sink slot inside *their own* sequence (weights are 0 there)
+_IDX_FIELDS = {"text_idx", "vit_idx", "vae_idx", "ce_idx"}
+_FILL = {"vae_timesteps": NEG_INF, "fan_id": -1, "noise_id": -1}
+
+
 def stack_batches(batches) -> PackedTrainBatch:
-    """Stack per-sequence batches into one leading batch axis."""
-    return jax.tree.map(lambda *xs: jnp.stack(xs, 0), *batches)
+    """Stack per-sequence batches into one leading batch axis.
+
+    Batches coming out of `finalize` can land in different static buckets
+    (content-dependent seq/text/vit/vae sizes); each field is padded up to
+    the group max before stacking so dp-many sequences form one [B, ...]
+    batch. Pad semantics: grown sequence tail keeps padding markers (doc 0,
+    fan/noise -1, timestep -inf); grown index buckets keep pointing at the
+    original sink slot (s_own - 1), which stays a padding slot after growth
+    because real tokens occupy a prefix — and every loss weight there is 0.
+    """
+    batches = list(batches)
+    if len(batches) == 1:
+        return jax.tree.map(lambda x: x[None], batches[0])
+
+    out = {}
+    for f in dataclasses.fields(PackedTrainBatch):
+        vals = [getattr(b, f.name) for b in batches]
+        n = max(v.shape[0] for v in vals)
+        padded = []
+        for b, v in zip(batches, vals):
+            if v.shape[0] == n:
+                padded.append(v)
+                continue
+            if f.name in _IDX_FIELDS:
+                fill = b.position_ids.shape[0] - 1  # this sequence's sink
+            else:
+                fill = _FILL.get(f.name, 0)
+            pad = jnp.full((n - v.shape[0],) + v.shape[1:], fill, v.dtype)
+            padded.append(jnp.concatenate([v, pad], 0))
+        out[f.name] = jnp.stack(padded, 0)
+    return PackedTrainBatch(**out)

@@ -34,6 +34,9 @@ def main(argv=None):
     p.add_argument("--cfg_text_scale", type=float, default=4.0)
     p.add_argument("--cfg_img_scale", type=float, default=1.0)
     p.add_argument("--cfg_renorm_type", type=str, default="global")
+    p.add_argument("--cfg_renorm_min", type=float, default=0.0)
+    p.add_argument("--cfg_interval_min", type=float, default=0.4,
+                   help="CFG active for t in (interval_min, 1.0]")
     p.add_argument("--timestep_shift", type=float, default=3.0)
     p.add_argument("--think", action="store_true")
     p.add_argument("--enable_taylorseer", action="store_true")
@@ -86,6 +89,8 @@ def main(argv=None):
             cfg_text_scale=args.cfg_text_scale,
             cfg_img_scale=args.cfg_img_scale,
             cfg_renorm_type=args.cfg_renorm_type,
+            cfg_renorm_min=args.cfg_renorm_min,
+            cfg_interval=(args.cfg_interval_min, 1.0),
             timestep_shift=args.timestep_shift,
             enable_taylorseer=args.enable_taylorseer,
             rng=jax.random.PRNGKey(args.seed + row["index"]),

@@ -233,6 +233,8 @@ def bagel_forward_train(
     noise: jax.Array,  # [n_vae, patch_latent_dim] flow noise
     precision=None,
     attn_chunk=None,
+    context_parallel=None,
+    sparse_block=None,
 ) -> Dict[str, jax.Array]:
     """Packed training forward -> per-element losses.
 
@@ -274,7 +276,7 @@ def bagel_forward_train(
         )
         seq = seq.at[batch.vae_idx].set(lat_emb)
 
-    if attn_chunk is None:
+    if attn_chunk is None and context_parallel is None and sparse_block is None:
         mask = train_packed_mask(
             batch.document_id, batch.fan_id, batch.noise_id
         )
@@ -285,6 +287,7 @@ def bagel_forward_train(
     hidden = qwen2.llm_forward_train(
         params["llm"], cfg.llm, seq, batch.position_ids, mask,
         batch.gen_mask, precision, mask_meta=meta, attn_chunk=attn_chunk,
+        context_parallel=context_parallel, sparse_block=sparse_block,
     )
 
     out: Dict[str, jax.Array] = {}

@@ -116,6 +116,10 @@ def _linear(x, p, precision=None):
         w = (
             p["w_q"].astype(jnp.float32) * p["scale"][..., None, :]
         ).astype(x.dtype)
+    elif "w_p4" in p or "w_nf4" in p:
+        from bagel_tpu.utils.quant import dequantize_weight4
+
+        w = dequantize_weight4(p, x.dtype)
     else:
         w = p["w"]
     out = jnp.dot(x, w, preferred_element_type=jnp.float32,
@@ -420,6 +424,8 @@ def llm_forward_train(
     remat: bool = True,
     mask_meta: Optional[Tuple[jax.Array, jax.Array, jax.Array]] = None,
     attn_chunk: Optional[int] = None,
+    context_parallel: Optional[Tuple] = None,  # (Mesh, axis_name)
+    sparse_block: Optional[int] = None,
 ) -> jax.Array:
     """Training forward over one packed multi-sample sequence.
 
@@ -444,7 +450,48 @@ def llm_forward_train(
     eps = cfg.rms_norm_eps
     cos, sin = rope_cos_sin(position_ids, hd, cfg.rope_theta)
 
-    if attn_chunk is not None:
+    if context_parallel is not None:
+        # ring attention over a sequence-sharded mesh axis (context
+        # parallelism — extension beyond the reference, SURVEY §2.6): the
+        # per-layer attend runs under shard_map with KV + mask metadata
+        # rotating around the ring.
+        assert mask_meta is not None, "context_parallel needs mask_meta"
+        from jax.sharding import PartitionSpec as P
+
+        from bagel_tpu.ops.ring import ring_packed_attention
+
+        cp_mesh, cp_axis = context_parallel
+        doc_id, fan_id_, noi_id = mask_meta
+
+        def attend(q, k, v):
+            fn = partial(ring_packed_attention, axis_name=cp_axis)
+            out = jax.shard_map(
+                fn, mesh=cp_mesh,
+                in_specs=(
+                    P(None, cp_axis), P(None, cp_axis), P(None, cp_axis),
+                    P(cp_axis), P(cp_axis), P(cp_axis),
+                ),
+                out_specs=P(None, cp_axis),
+                check_vma=False,
+            )(q[None], k[None], v[None], doc_id, fan_id_, noi_id)
+            return out[0]
+    elif sparse_block is not None:
+        # block-sparse Pallas kernel: dead (q-block, kv-block) tiles are
+        # skipped entirely — DMA and MXU — via per-block doc/fan liveness
+        # (the flex_attention block-mask equivalent, bagel.py:156-161)
+        assert mask_meta is not None, "sparse_block needs (doc, fan, noise)"
+        from bagel_tpu.ops.sparse_flash import sparse_packed_attention
+
+        doc_id, fan_id_, noi_id = mask_meta
+        interp = jax.default_backend() != "tpu"
+
+        def attend(q, k, v):
+            return sparse_packed_attention(
+                q, k, v, doc_id, fan_id_, noi_id,
+                block_q=sparse_block, block_k=sparse_block,
+                interpret=interp,
+            )
+    elif attn_chunk is not None:
         assert mask_meta is not None, "attn_chunk needs (doc, fan, noise) ids"
         from bagel_tpu.ops.chunked import chunked_packed_attention
 

@@ -65,29 +65,34 @@ def timestep_embedding(
 
 def flattened_position_ids_extrapolate(
     img_h: int, img_w: int, patch_size: int, max_num_patches_per_side: int
-):
+) -> "np.ndarray":
     """Grid positions flattened into a max_side**2 table (data_utils.py:53-58).
 
-    Host-side helper: returns a numpy-backed jnp array of [h*w] int32.
+    Host-side helper: pure numpy so data-pipeline worker processes never
+    touch a JAX backend.
     """
+    import numpy as np
+
     num_h, num_w = img_h // patch_size, img_w // patch_size
-    coords_h = jnp.arange(num_h, dtype=jnp.int32)
-    coords_w = jnp.arange(num_w, dtype=jnp.int32)
+    coords_h = np.arange(num_h, dtype=np.int32)
+    coords_w = np.arange(num_w, dtype=np.int32)
     return (coords_h[:, None] * max_num_patches_per_side + coords_w).reshape(-1)
 
 
 def flattened_position_ids_interpolate(
     img_h: int, img_w: int, patch_size: int, max_num_patches_per_side: int
-):
-    """Bucketized fractional positions (data_utils.py:61-69)."""
+) -> "np.ndarray":
+    """Bucketized fractional positions (data_utils.py:61-69). Pure numpy."""
+    import numpy as np
+
     num_h, num_w = img_h // patch_size, img_w // patch_size
-    boundaries = jnp.arange(
+    boundaries = np.arange(
         1 / max_num_patches_per_side, 1.0, 1 / max_num_patches_per_side
     )
-    frac_h = jnp.arange(0, 1 - 1e-6, 1 / num_h)
-    frac_w = jnp.arange(0, 1 - 1e-6, 1 / num_w)
-    bucket_h = jnp.searchsorted(boundaries, frac_h, side="right")
-    bucket_w = jnp.searchsorted(boundaries, frac_w, side="right")
+    frac_h = np.arange(0, 1 - 1e-6, 1 / num_h)
+    frac_w = np.arange(0, 1 - 1e-6, 1 / num_w)
+    bucket_h = np.searchsorted(boundaries, frac_h, side="right")
+    bucket_w = np.searchsorted(boundaries, frac_w, side="right")
     return (
         bucket_h[:, None] * max_num_patches_per_side + bucket_w
-    ).reshape(-1).astype(jnp.int32)
+    ).reshape(-1).astype(np.int32)

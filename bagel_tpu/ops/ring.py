@@ -92,3 +92,80 @@ def ring_attention(
 
     out = acc / jnp.maximum(l, 1e-20)
     return out.transpose(0, 3, 1, 2, 4).reshape(b, sq, h, d).astype(q.dtype)
+
+
+def ring_packed_attention(
+    q: jax.Array,  # [B, S_local, H, D]
+    k: jax.Array,  # [B, S_local, KH, D]
+    v: jax.Array,
+    doc_id: jax.Array,  # [S_local] int32 per-token sample id (0 = padding)
+    fan_id: jax.Array,  # [S_local] full/noise split id, -1 elsewhere
+    noise_id: jax.Array,  # [S_local] noise split id, -1 elsewhere
+    axis_name: str,
+    scale: Optional[float] = None,
+) -> jax.Array:
+    """Ring attention under the packed-training mask predicate
+    (ops.attention.train_packed_mask / data_utils.py:13-40) — context
+    parallelism for the training forward, an extension the reference lacks.
+
+    The sequence (and its mask metadata) is sharded on `axis_name`; KV
+    blocks and their metadata rotate around the ring while the local Q block
+    folds online-softmax partials. Exact vs the dense-mask path.
+    """
+    b, sq, h, d = q.shape
+    kh = k.shape[2]
+    g = h // kh
+    if scale is None:
+        scale = d**-0.5
+    n = jax.lax.axis_size(axis_name)
+    my_idx = jax.lax.axis_index(axis_name)
+    perm = [(i, (i + 1) % n) for i in range(n)]
+
+    qf = q.reshape(b, sq, kh, g, d)
+    q_pos = my_idx * sq + jnp.arange(sq)
+
+    def block_mask(owner, doc_k, fan_k, noi_k):
+        k_pos = owner * sq + jnp.arange(sq)
+        causal = q_pos[:, None] >= k_pos[None, :]
+        same_fan = (fan_id[:, None] == fan_k[None, :]) & (fan_id[:, None] >= 0)
+        remove_noise = ~(
+            (noi_k[None, :] >= 0) & (noise_id[:, None] != noi_k[None, :])
+        )
+        same_doc = (doc_id[:, None] == doc_k[None, :]) & (doc_id[:, None] != 0)
+        return same_doc & (causal | same_fan) & remove_noise
+
+    def block(k_blk, v_blk, owner, doc_k, fan_k, noi_k):
+        s = jnp.einsum(
+            "bqhgd,bkhd->bhgqk", qf, k_blk,
+            preferred_element_type=jnp.float32,
+        ) * scale
+        mask = block_mask(owner, doc_k, fan_k, noi_k)[None, None, None]
+        s = jnp.where(mask, s, NEG_INF)
+        m_b = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.where(mask, jnp.exp(s - m_b), 0.0)
+        l_b = jnp.sum(p, axis=-1, keepdims=True)
+        acc_b = jnp.einsum(
+            "bhgqk,bkhd->bhgqd", p.astype(v_blk.dtype), v_blk,
+            preferred_element_type=jnp.float32,
+        )
+        return m_b, l_b, acc_b
+
+    m = jnp.full((b, kh, g, sq, 1), NEG_INF, jnp.float32)
+    l = jnp.zeros((b, kh, g, sq, 1), jnp.float32)
+    acc = jnp.zeros((b, kh, g, sq, d), jnp.float32)
+    state = (k, v, my_idx, doc_id, fan_id, noise_id)
+    for _ in range(n):
+        k_blk, v_blk, owner, doc_k, fan_k, noi_k = state
+        m_b, l_b, acc_b = block(k_blk, v_blk, owner, doc_k, fan_k, noi_k)
+        m_new = jnp.maximum(m, m_b)
+        alpha = jnp.exp(m - m_new)
+        beta = jnp.exp(m_b - m_new)
+        l = l * alpha + l_b * beta
+        acc = acc * alpha + acc_b * beta
+        m = m_new
+        state = tuple(
+            jax.lax.ppermute(x, axis_name, perm) for x in state
+        )
+
+    out = acc / jnp.maximum(l, 1e-20)
+    return out.transpose(0, 3, 1, 2, 4).reshape(b, sq, h, d).astype(q.dtype)

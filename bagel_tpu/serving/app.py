@@ -43,8 +43,11 @@ def parse_args(argv=None):
     p.add_argument("--cfg_renorm_type", type=str, default="global")
     p.add_argument("--timestep_shift", type=float, default=3.0)
     p.add_argument("--enable_taylorseer", action="store_true")
-    p.add_argument("--quant", type=str, default=None, choices=[None, "int8"],
-                   help="int8 weight-only LLM quantization (utils/quant.py)")
+    p.add_argument("--quant", type=str, default=None,
+                   choices=[None, "int8", "int4", "nf4"],
+                   help="weight-only LLM quantization: int8 per-column, "
+                        "int4/nf4 per-group 4-bit (bnb NF4/INT8 parity, "
+                        "app.py:114-131)")
     p.add_argument("--seed", type=int, default=42)
     return p.parse_args(argv)
 
@@ -81,10 +84,10 @@ def build_engine(args):
         tokenizer = MockTokenizer(cfg.llm.vocab_size)
         new_token_ids = tokenizer.new_token_ids
 
-    if getattr(args, "quant", None) == "int8":
+    if getattr(args, "quant", None):
         from bagel_tpu.utils.quant import quantize_bagel_params
 
-        params = quantize_bagel_params(params)
+        params = quantize_bagel_params(params, args.quant)
 
     if args.mesh:
         from bagel_tpu.parallel import make_mesh, shard_params

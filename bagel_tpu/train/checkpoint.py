@@ -31,17 +31,64 @@ def save_checkpoint(
     data_status: Optional[dict] = None,
     cfg: Optional[BagelConfig] = None,
 ):
+    """Save one checkpoint. MUST be entered by every process: Orbax saves of
+    multi-host sharded arrays are collective (each host writes its own
+    shards) — the reference's rank-0-only consolidation (fsdp_utils.py:
+    88-120) has no analogue here. Host-side JSON files are written by
+    process 0 only."""
     path = os.path.join(os.path.abspath(ckpt_dir), f"{step:07d}")
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(os.path.join(path, "state"), state)
     ckptr.wait_until_finished()
-    if data_status is not None:
-        with open(os.path.join(path, "data_status.json"), "w") as f:
-            json.dump(_jsonify(data_status), f)
-    if cfg is not None:
-        with open(os.path.join(path, "config.json"), "w") as f:
-            f.write(config_to_json(cfg))
+    if jax.process_index() == 0:
+        if data_status is not None:
+            with open(os.path.join(path, "data_status.json"), "w") as f:
+                json.dump(_jsonify(data_status), f)
+        if cfg is not None:
+            with open(os.path.join(path, "config.json"), "w") as f:
+                f.write(config_to_json(cfg))
     return path
+
+
+def gather_data_status(data_status: dict) -> dict:
+    """All-gather per-process data-stream positions before a save, so the
+    checkpoint records every host's iterator state (the reference gathers
+    rank dicts with gather_object, pretrain_unified_navit.py:789-808).
+
+    Returns {process_index: data_status}. Dicts are JSON-serialized into
+    padded uint8 buffers and exchanged with process_allgather — JAX has no
+    object gather."""
+    nproc = jax.process_count()
+    if nproc == 1:
+        return {0: data_status}
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    payload = np.frombuffer(
+        json.dumps(_jsonify(data_status)).encode(), np.uint8
+    )
+    lens = multihost_utils.process_allgather(
+        np.asarray(len(payload), np.int32)
+    )
+    buf = np.zeros(int(lens.max()), np.uint8)
+    buf[: len(payload)] = payload
+    bufs = multihost_utils.process_allgather(buf)
+    out = {}
+    for r in range(nproc):
+        raw = bytes(np.asarray(bufs[r][: int(lens[r])]))
+        out[r] = _dejsonify(json.loads(raw.decode()))
+    return out
+
+
+def data_status_for_process(saved: Optional[dict], rank: int) -> dict:
+    """Pick this process's slice of a saved data_status. Handles both the
+    gathered {rank: status} layout and legacy single-host dicts (dataset
+    names as top-level keys)."""
+    if not saved:
+        return {}
+    if all(isinstance(k, int) for k in saved.keys()):
+        return saved.get(rank, {})
+    return saved if rank == 0 else {}
 
 
 def restore_checkpoint(path: str, abstract_state) -> Tuple[Any, Optional[dict]]:

@@ -36,6 +36,8 @@ from bagel_tpu.data.tokenizer import load_tokenizer
 from bagel_tpu.models.bagel import init_bagel_params
 from bagel_tpu.parallel import make_mesh, shard_batch, shard_params
 from bagel_tpu.train.checkpoint import (
+    data_status_for_process,
+    gather_data_status,
     get_latest_ckpt,
     restore_checkpoint,
     save_checkpoint,
@@ -84,6 +86,8 @@ def parse_args(argv=None):
     p.add_argument("--text_cond_dropout_prob", type=float, default=0.1)
     p.add_argument("--vit_cond_dropout_prob", type=float, default=0.4)
     p.add_argument("--vae_cond_dropout_prob", type=float, default=0.1)
+    p.add_argument("--num_workers", type=int, default=0,
+                   help="packing worker subprocesses; 0 = in-process thread")
     # training
     p.add_argument("--total_steps", type=int, default=500_000)
     p.add_argument("--lr", type=float, default=1e-4)
@@ -101,6 +105,15 @@ def parse_args(argv=None):
     p.add_argument("--gradient_accumulation_steps", type=int, default=1)
     p.add_argument("--mesh", type=str, default=None,
                    help="dp,fsdp,tp e.g. 1,8,1; default all-fsdp")
+    p.add_argument("--attn_chunk", type=int, default=None,
+                   help="chunked packed attention (no dense [S,S] mask)")
+    p.add_argument("--sparse_block", type=int, default=None,
+                   help="block-sparse Pallas train attention (skips "
+                        "cross-document tiles; TPU)")
+    p.add_argument("--context_parallel", type=str, default=None,
+                   choices=[None, "dp", "fsdp", "tp"],
+                   help="mesh axis to shard the packed sequence over "
+                        "(ring attention; requires dp-batch of 1)")
     # logging / ckpt
     p.add_argument("--ckpt_dir", type=str, default="results/ckpt")
     p.add_argument("--save_every", type=int, default=2000)
@@ -145,11 +158,45 @@ def build_config(args) -> BagelConfig:
     )
 
 
-def make_grad_and_apply(cfg, tx, args):
+def _worker_packer(spec: dict, worker_id: int, num_workers: int):
+    """Packing-worker factory for MultiprocessLoader (module-level so the
+    spawn start method can pickle it). Rebuilds the datasets + packer inside
+    the subprocess; finalize stays numpy-only (as_device=False)."""
+    from bagel_tpu.data.datasets import DATASET_INFO
+
+    for group, names in spec["dataset_info"].items():
+        DATASET_INFO.setdefault(group, {}).update(names)
+    datasets, is_mandatory, weights = build_grouped_datasets(
+        spec["grouped"], spec["tokenizer"],
+        local_rank=spec["rank"], world_size=spec["world"],
+        num_workers=num_workers, worker_id=worker_id,
+        data_status=spec["data_status"],
+    )
+    packer = PackedBatchIterator(
+        spec["pcfg"], [iter(d) for d in datasets], weights, is_mandatory,
+        spec["new_token_ids"],
+        expected_num_tokens=spec["expected_num_tokens"],
+        max_num_tokens_per_sample=spec["max_num_tokens_per_sample"],
+        max_num_tokens=spec["max_num_tokens"],
+        prefer_buffer_before=spec["prefer_buffer_before"],
+        seed=spec["seed"] + worker_id,
+        finalize_kwargs={**spec["finalize_kwargs"], "as_device": False},
+    )
+    return iter(packer)
+
+
+def make_grad_and_apply(cfg, tx, args, mesh=None):
+    cp = (
+        (mesh, args.context_parallel)
+        if getattr(args, "context_parallel", None) else None
+    )
+
     def grad_step(params, batch, noise):
         (loss, metrics), grads = jax.value_and_grad(
             lambda p: compute_losses(
-                p, cfg, batch, noise, args.ce_weight, args.mse_weight
+                p, cfg, batch, noise, args.ce_weight, args.mse_weight,
+                attn_chunk=args.attn_chunk, context_parallel=cp,
+                sparse_block=getattr(args, "sparse_block", None),
             ),
             has_aux=True,
         )(params)
@@ -218,8 +265,10 @@ def main(argv=None):
                 lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding),
                 state,
             )
-            state, data_status = restore_checkpoint(latest, abstract)
-            data_status = data_status or {}
+            state, saved_status = restore_checkpoint(latest, abstract)
+            # the checkpoint stores every host's stream positions
+            # ({rank: status}); each process resumes its own slice
+            data_status = data_status_for_process(saved_status, rank)
             start_step = step_from_path(latest)
             logger.info(f"resumed from {latest} at step {start_step}")
 
@@ -237,11 +286,6 @@ def main(argv=None):
         )
     with open(args.dataset_config) as f:
         grouped = yaml.safe_load(f)
-    datasets, is_mandatory, weights = build_grouped_datasets(
-        grouped, tokenizer,
-        local_rank=rank, world_size=jax.process_count(),
-        data_status=data_status or None,
-    )
     pcfg = PackerConfig(
         text_cond_dropout_prob=args.text_cond_dropout_prob,
         vit_cond_dropout_prob=args.vit_cond_dropout_prob,
@@ -251,29 +295,66 @@ def main(argv=None):
         vit_patch_size=cfg.vit.patch_size if cfg.vit else 14,
         max_num_patch_per_side=cfg.vit_max_num_patch_per_side,
     )
-    packer = PackedBatchIterator(
-        pcfg, [iter(d) for d in datasets], weights, is_mandatory,
-        new_token_ids,
-        expected_num_tokens=args.expected_num_tokens,
-        max_num_tokens_per_sample=args.max_num_tokens_per_sample,
-        max_num_tokens=args.max_num_tokens,
-        prefer_buffer_before=args.prefer_buffer_before,
-        seed=args.seed + rank,
-        finalize_kwargs=dict(
-            vit_patch_dim=cfg.vit.patch_dim if cfg.vit else 588,
-            patch_latent_dim=cfg.patch_latent_dim,
-        ),
-    )
-    from bagel_tpu.data.loader import PrefetchLoader
 
-    loader = PrefetchLoader(
-        iter(packer),
-        state.params["vae"] if cfg.visual_gen else None,
-        cfg, jax.random.PRNGKey(args.seed + 77),
-    )
+    def make_packer(worker_id: int, num_workers: int, as_device: bool):
+        datasets, is_mandatory, weights = build_grouped_datasets(
+            grouped, tokenizer,
+            local_rank=rank, world_size=jax.process_count(),
+            num_workers=num_workers, worker_id=worker_id,
+            data_status=data_status or None,
+        )
+        return PackedBatchIterator(
+            pcfg, [iter(d) for d in datasets], weights, is_mandatory,
+            new_token_ids,
+            expected_num_tokens=args.expected_num_tokens,
+            max_num_tokens_per_sample=args.max_num_tokens_per_sample,
+            max_num_tokens=args.max_num_tokens,
+            prefer_buffer_before=args.prefer_buffer_before,
+            seed=args.seed + rank * 1009 + worker_id,
+            finalize_kwargs=dict(
+                vit_patch_dim=cfg.vit.patch_dim if cfg.vit else 588,
+                patch_latent_dim=cfg.patch_latent_dim,
+                as_device=as_device,
+            ),
+        )
+
+    vae_params = state.params["vae"] if cfg.visual_gen else None
+    if args.num_workers > 0:
+        import functools
+
+        from bagel_tpu.data.datasets import DATASET_INFO
+        from bagel_tpu.data.loader import MultiprocessLoader
+
+        spec = dict(
+            grouped=grouped, tokenizer=tokenizer, rank=rank,
+            world=jax.process_count(), data_status=data_status or None,
+            dataset_info=DATASET_INFO, pcfg=pcfg,
+            new_token_ids=new_token_ids,
+            expected_num_tokens=args.expected_num_tokens,
+            max_num_tokens_per_sample=args.max_num_tokens_per_sample,
+            max_num_tokens=args.max_num_tokens,
+            prefer_buffer_before=args.prefer_buffer_before,
+            seed=args.seed + rank * 1009,
+            finalize_kwargs=dict(
+                vit_patch_dim=cfg.vit.patch_dim if cfg.vit else 588,
+                patch_latent_dim=cfg.patch_latent_dim,
+            ),
+        )
+        loader = MultiprocessLoader(
+            functools.partial(_worker_packer, spec),
+            args.num_workers, vae_params, cfg,
+            jax.random.PRNGKey(args.seed + 77),
+        )
+    else:
+        from bagel_tpu.data.loader import PrefetchLoader
+
+        loader = PrefetchLoader(
+            iter(make_packer(0, 1, as_device=True)),
+            vae_params, cfg, jax.random.PRNGKey(args.seed + 77),
+        )
     data_iter = iter(loader)
 
-    grad_step, apply_step = make_grad_and_apply(cfg, tx, args)
+    grad_step, apply_step = make_grad_and_apply(cfg, tx, args, mesh)
     meter = ThroughputMeter(cfg.llm, n_chips=jax.device_count())
     rng = jax.random.PRNGKey(args.seed + 1000 * rank)
 
@@ -287,24 +368,31 @@ def main(argv=None):
         except ImportError:
             logger.info("wandb not installed; skipping")
 
+    # each micro-step packs dp-many sequences so the batch axis shards over
+    # the dp mesh dim (one sequence per dp slice, like one packed batch per
+    # reference rank)
+    dp = shape[0]
+
     with mesh:
         for step in range(start_step, args.total_steps):
             grads_acc = None
             metrics = None
             for _ in range(args.gradient_accumulation_steps):
-                batch, data_indexes = next(data_iter)
+                group = [next(data_iter) for _ in range(dp)]
                 rng, r2 = jax.random.split(rng)
-                bb = stack_batches([batch])
+                bb = stack_batches([b for b, _ in group])
                 bb = shard_batch(mesh, bb)
                 noise = jax.random.normal(
-                    r2, (1,) + batch.vae_patches.shape, jnp.float32
+                    r2, bb.vae_patches.shape, jnp.float32
                 )
                 g, metrics = grad_step(state.params, bb, noise)
                 grads_acc = g if grads_acc is None else jax.tree.map(
                     jnp.add, grads_acc, g
                 )
-                data_status = update_data_status(data_status, data_indexes)
-                meter.update(int(batch.position_ids.shape[0]))
+                for _, data_indexes in group:
+                    data_status = update_data_status(data_status, data_indexes)
+                meter.update(int(bb.position_ids.shape[0] *
+                                 bb.position_ids.shape[1]))
             if args.gradient_accumulation_steps > 1:
                 grads_acc = jax.tree.map(
                     lambda x: x / args.gradient_accumulation_steps, grads_acc
@@ -334,14 +422,17 @@ def main(argv=None):
                     )
                 meter.reset()
 
-            if step > start_step and step % args.save_every == 0 and rank == 0:
-                save_checkpoint(args.ckpt_dir, step, state, data_status, cfg)
+            if step > start_step and step % args.save_every == 0:
+                # collective: every process enters the Orbax save and the
+                # data_status allgather (reference gathers rank dicts before
+                # rank-0 writes, pretrain_unified_navit.py:796-820)
+                save_checkpoint(args.ckpt_dir, step, state,
+                                gather_data_status(data_status), cfg)
                 logger.info(f"saved checkpoint at step {step}")
 
-        if rank == 0:
-            save_checkpoint(args.ckpt_dir, args.total_steps, state,
-                            data_status, cfg)
-            logger.info("saved final checkpoint")
+        save_checkpoint(args.ckpt_dir, args.total_steps, state,
+                        gather_data_status(data_status), cfg)
+        logger.info("saved final checkpoint")
 
 
 if __name__ == "__main__":

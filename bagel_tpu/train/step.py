@@ -90,11 +90,23 @@ def compute_losses(
     mse_weight: float = 1.0,
     precision=None,
     attn_chunk=None,
+    context_parallel=None,
+    sparse_block=None,
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
-    outs = jax.vmap(
-        lambda b, n: bagel_forward_train(params, cfg, b, n, precision,
-                                         attn_chunk=attn_chunk)
-    )(batch, noise)
+    if context_parallel is not None:
+        # ring attention shard_maps inside the forward; vmap over batch is
+        # not supported — context parallelism targets one huge sequence.
+        assert batch.position_ids.shape[0] == 1, "context_parallel needs B=1"
+        one = jax.tree.map(lambda x: x[0], batch)
+        outs = bagel_forward_train(params, cfg, one, noise[0], precision,
+                                   context_parallel=context_parallel)
+        outs = jax.tree.map(lambda x: x[None], outs)
+    else:
+        outs = jax.vmap(
+            lambda b, n: bagel_forward_train(params, cfg, b, n, precision,
+                                             attn_chunk=attn_chunk,
+                                             sparse_block=sparse_block)
+        )(batch, noise)
 
     ce_w = outs["ce_weight"]
     ce_cnt = jnp.maximum(jnp.sum(ce_w), 1e-8)

@@ -38,13 +38,111 @@ def maybe_dequantize(w, dtype=jnp.bfloat16):
     return w
 
 
-_LLM_TARGETS = ("q", "k", "v", "o", "gate", "up", "down")
+# --------------------------------------------------------------------------
+# 4-bit weight-only: symmetric int4 and NF4, both per-group along the input
+# dim with two nibbles packed per byte — true 4-bit at rest (a 14B MoT drops
+# to ~7 GB, the reference's bnb NF4 small-host mode, app.py:114-131).
+# --------------------------------------------------------------------------
+
+# the bitsandbytes NF4 codebook: 16 quantiles of a standard normal,
+# normalized to [-1, 1] (QLoRA paper, table reproduced by value)
+NF4_TABLE = jnp.asarray([
+    -1.0, -0.6961928009986877, -0.5250730514526367, -0.39491748809814453,
+    -0.28444138169288635, -0.18477343022823334, -0.09105003625154495, 0.0,
+    0.07958029955625534, 0.16093020141124725, 0.24611230194568634,
+    0.33791524171829224, 0.44070982933044434, 0.5626170039176941,
+    0.7229568362236023, 1.0,
+], jnp.float32)
 
 
-def quantize_llm_params(params: dict) -> dict:
+def _pack_nibbles(idx: jax.Array) -> jax.Array:
+    """uint8 values 0..15 over [..., in, out] -> [..., in/2, out] packed
+    (row 2i -> low nibble, row 2i+1 -> high)."""
+    lo = idx[..., 0::2, :]
+    hi = idx[..., 1::2, :]
+    return (lo | (hi << 4)).astype(jnp.uint8)
+
+
+def _unpack_nibbles(p4: jax.Array) -> jax.Array:
+    """Inverse of _pack_nibbles: [..., in/2, out] -> [..., in, out] uint8."""
+    lo = p4 & jnp.uint8(15)
+    hi = p4 >> jnp.uint8(4)
+    stacked = jnp.stack([lo, hi], axis=-2)  # [..., in/2, 2, out]
+    shape = p4.shape[:-2] + (p4.shape[-2] * 2, p4.shape[-1])
+    return stacked.reshape(shape)
+
+
+def quantize_weight_int4(w: jax.Array, group: int = 128) -> dict:
+    """[in, out] (or [L, in, out]) -> symmetric int4, per-(group, column)
+    scales. in % (2, group) == 0."""
+    wf = w.astype(jnp.float32)
+    in_ = wf.shape[-2]
+    group = min(group, in_)  # small test configs: one group per column
+    assert in_ % group == 0 and in_ % 2 == 0, (in_, group)
+    gshape = wf.shape[:-2] + (in_ // group, group, wf.shape[-1])
+    wg = wf.reshape(gshape)
+    amax = jnp.max(jnp.abs(wg), axis=-2, keepdims=True)
+    scale = jnp.maximum(amax / 7.0, 1e-12)
+    q = jnp.clip(jnp.round(wg / scale), -8, 7).reshape(wf.shape)
+    idx = (q + 8).astype(jnp.uint8)
+    # group is inferred at dequant from in_dim / scale rows (no python
+    # leaves in the pytree)
+    return {
+        "w_p4": _pack_nibbles(idx),
+        "scale4": jnp.squeeze(scale, -2),  # [..., in/group, out]
+    }
+
+
+def quantize_weight_nf4(w: jax.Array, group: int = 128) -> dict:
+    """[in, out] (or stacked) -> NF4 codebook indices + per-group absmax."""
+    wf = w.astype(jnp.float32)
+    in_ = wf.shape[-2]
+    group = min(group, in_)
+    assert in_ % group == 0 and in_ % 2 == 0, (in_, group)
+    gshape = wf.shape[:-2] + (in_ // group, group, wf.shape[-1])
+    wg = wf.reshape(gshape)
+    absmax = jnp.maximum(jnp.max(jnp.abs(wg), axis=-2, keepdims=True), 1e-12)
+    normed = (wg / absmax).reshape(wf.shape)
+    # nearest codebook entry
+    dist = jnp.abs(normed[..., None] - NF4_TABLE)
+    idx = jnp.argmin(dist, axis=-1).astype(jnp.uint8)
+    return {
+        "w_nf4": _pack_nibbles(idx),
+        "absmax": jnp.squeeze(absmax, -2),
+    }
+
+
+def dequantize_weight4(q: dict, dtype=jnp.bfloat16) -> jax.Array:
+    """Dequantize an int4/NF4 leaf back to [..., in, out]."""
+    if "w_p4" in q:
+        nib = _unpack_nibbles(q["w_p4"]).astype(jnp.int8) - 8
+        w = nib.astype(jnp.float32)
+        scale = q["scale4"]
+    else:
+        nib = _unpack_nibbles(q["w_nf4"])
+        w = NF4_TABLE[nib]
+        scale = q["absmax"]
+    in_ = w.shape[-2]
+    group = in_ // scale.shape[-2]
+    gshape = w.shape[:-2] + (in_ // group, group, w.shape[-1])
+    w = w.reshape(gshape) * scale[..., :, None, :]
+    return w.reshape(w.shape[:-3] + (in_, w.shape[-1])).astype(dtype)
+
+
+def quantize_llm_params(params: dict, mode: str = "int8") -> dict:
     """Quantize the LLM's large matmuls (attention projections, FFN,
-    lm_head, embedding). Norms, biases and adapters stay as-is."""
-    import copy
+    lm_head, embedding). Norms, biases and adapters stay as-is.
+
+    mode: "int8" per-column, "int4" per-group symmetric, "nf4" per-group
+    codebook (reference bnb parity, app.py:114-131). The lm_head and
+    embedding always use int8 — output quality is most sensitive there and
+    both are single tensors."""
+    assert mode in ("int8", "int4", "nf4"), mode
+    quant = {
+        "int8": quantize_weight,
+        "int4": quantize_weight_int4,
+        "nf4": quantize_weight_nf4,
+    }[mode]
 
     out = dict(params)
     layers = dict(params["layers"])
@@ -53,13 +151,13 @@ def quantize_llm_params(params: dict) -> dict:
         a = dict(attn)
         for k in ("q", "k", "v", "o"):
             p = dict(a[k])
-            p_q = quantize_weight(p.pop("w"))
+            p_q = quant(p.pop("w"))
             p.update(p_q)
             a[k] = p
         return a
 
     def quant_mlp(mlp):
-        return {k: quantize_weight(v) for k, v in mlp.items()}
+        return {k: quant(v) for k, v in mlp.items()}
 
     for name in list(layers):
         if name.startswith("attn"):
@@ -79,7 +177,7 @@ def quantize_llm_params(params: dict) -> dict:
     return out
 
 
-def quantize_bagel_params(params: dict) -> dict:
+def quantize_bagel_params(params: dict, mode: str = "int8") -> dict:
     out = dict(params)
-    out["llm"] = quantize_llm_params(params["llm"])
+    out["llm"] = quantize_llm_params(params["llm"], mode)
     return out

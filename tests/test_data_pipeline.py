@@ -1,6 +1,7 @@
 """End-to-end data pipeline: synthetic corpora -> datasets -> packer ->
 static batch -> train step."""
 
+import io
 import json
 import os
 
@@ -201,3 +202,127 @@ def test_full_pipeline_to_train_step(corpora, pieces):
     assert np.isfinite(float(loss))
     assert float(metrics["ce_tokens"]) > 0
     assert float(metrics["mse_tokens"]) > 0
+
+
+def _reference_edit_plan(n_frames, n_variants, seed):
+    """Oracle: the reference's UnifiedEditIterableDataset.parse_row decision
+    procedure (edit_dataset.py:21-73), reduced to its observable plan —
+    (kind, detail) events in global-`random` draw order."""
+    import random as _r
+
+    _r.seed(seed)
+    start_idx = _r.choice(range(n_frames - 1))
+    end_idx = _r.choice(range(start_idx + 1, min(start_idx + 3, n_frames)))
+    events = [("image", start_idx, dict(loss=0, vae=1, vit=1))]
+    if end_idx - start_idx > 1 and _r.random() < 0.5:
+        if end_idx == n_frames - 1:
+            end_idx -= 1
+        instruction = ""
+        for idx in range(start_idx + 1, end_idx + 1):
+            instruction += f"i{idx - 1}v{_r.choice(range(n_variants))}" + ". "
+        events.append(("text", instruction.rstrip()))
+        events.append(("image", end_idx, dict(loss=1, vae=0, vit=0)))
+    else:
+        for idx in range(start_idx + 1, end_idx + 1):
+            events.append(("text", f"i{idx - 1}v{_r.choice(range(n_variants))}"))
+            last = idx == end_idx
+            events.append(
+                ("image", idx, dict(loss=1, vae=int(not last), vit=int(not last)))
+            )
+    return events
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4, 5, 6, 7])
+def test_edit_parse_row_plan_parity(corpora, pieces, seed):
+    """Seeded parse_row plans match the reference decision procedure exactly
+    (the rewrite must preserve the training data distribution)."""
+    import random as _r
+
+    cfg, tok, vae_tf, vit_tf, pcfg = pieces
+    ds = UnifiedEditIterableDataset(
+        "unified_edit", vae_tf, tok, vit_tf, [str(corpora / "edit")]
+    )
+    # synthetic chain: 4 frames, instruction text encodes (hop, variant) so
+    # the oracle can predict the drawn string
+    n_frames, n_variants = 4, 3
+    rng = np.random.default_rng(9)
+    frames = []
+    for _ in range(n_frames):
+        buf = io.BytesIO()
+        Image.fromarray(
+            rng.integers(0, 255, (32, 32, 3), dtype=np.uint8), "RGB"
+        ).save(buf, "PNG")
+        frames.append(buf.getvalue())
+    row = {
+        "image_list": frames,
+        "instruction_list": [
+            [f"i{h}v{v}" for v in range(n_variants)]
+            for h in range(n_frames - 1)
+        ],
+    }
+
+    _r.seed(seed)
+    data = ds.parse_row(row)
+    expected = _reference_edit_plan(n_frames, n_variants, seed)
+
+    # flatten the produced plan back into oracle events
+    got = []
+    text_i = 0
+    plan = list(data["sequence_plan"])
+    k = 0
+    while k < len(plan):
+        p = plan[k]
+        if p["type"] == "text":
+            got.append(("text", tuple(data["text_ids_list"][text_i])))
+            text_i += 1
+            k += 1
+            continue
+        # image entries come in (loss?)(vae ctx?)(vit?) order from _add_image
+        flags = dict(loss=0, vae=0, vit=0)
+        while k < len(plan) and plan[k]["type"] in ("vae_image", "vit_image"):
+            q = plan[k]
+            if q["type"] == "vae_image" and q["loss"] == 1:
+                flags["loss"] = 1
+            elif q["type"] == "vae_image":
+                flags["vae"] = 1
+            else:
+                flags["vit"] = 1
+            k += 1
+        got.append(("image", flags))
+
+    exp_simplified = []
+    for ev in expected:
+        if ev[0] == "text":
+            exp_simplified.append(("text", tuple(tok.encode(ev[1]))))
+        else:
+            exp_simplified.append(("image", ev[2]))
+    assert got == exp_simplified, f"seed {seed}: {got} != {exp_simplified}"
+
+
+def test_vlm_elements_parity():
+    """_elements matches the reference change_format (vlm_dataset.py:68-95)
+    on placeholder-heavy conversations."""
+    from bagel_tpu.data.datasets import SftJSONLIterableDataset
+
+    ds = SftJSONLIterableDataset.__new__(SftJSONLIterableDataset)
+    conv = {
+        "conversations": [
+            {"from": "human", "value": "look <image> and <image> closely"},
+            {"from": "gpt", "value": "  I see.  "},
+            {"from": "human", "value": "no images here"},
+            {"from": "human", "value": "<image>leading"},
+        ]
+    }
+    # num_images budget of 2: third placeholder (index >= 2) is dropped
+    els = ds._elements(conv, num_images=2)
+    assert els == [
+        {"type": "text", "has_loss": 0, "text": "look"},
+        {"type": "image"},
+        {"type": "text", "has_loss": 0, "text": "and"},
+        {"type": "image"},
+        {"type": "text", "has_loss": 0, "text": "closely"},
+        {"type": "text", "has_loss": 1, "text": "  I see.  "},  # gpt verbatim
+        {"type": "text", "has_loss": 0, "text": "no images here"},
+        {"type": "image"},  # boundary index 0 < budget
+        {"type": "text", "has_loss": 0, "text": "leading"},
+    ]

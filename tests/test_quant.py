@@ -77,3 +77,72 @@ def test_quantized_llm_outputs_close():
                             precision="float32")
     # random-init logits are near-uniform so argmax may flip; just sanity
     assert toks_q.shape == toks_f.shape
+
+
+def test_int4_nf4_roundtrip_and_linear():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from bagel_tpu.models.qwen2 import _linear
+    from bagel_tpu.utils.quant import (
+        dequantize_weight4,
+        quantize_weight_int4,
+        quantize_weight_nf4,
+    )
+
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.standard_normal((256, 64)) * 0.05, jnp.float32)
+    for quant in (quantize_weight_int4, quantize_weight_nf4):
+        q = quant(w, group=128)
+        packed = q.get("w_p4", q.get("w_nf4"))
+        assert packed.shape == (128, 64) and packed.dtype == jnp.uint8
+        deq = dequantize_weight4(q, jnp.float32)
+        err = float(jnp.abs(deq - w).max() / jnp.abs(w).max())
+        assert err < 0.2, err  # 4-bit per-group quantization error bound
+
+        x = jnp.asarray(rng.standard_normal((4, 256)), jnp.float32)
+        got = _linear(x, q)
+        want = x @ deq
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
+        )
+
+
+def test_stacked_int4_quant():
+    import jax.numpy as jnp
+    import numpy as np
+
+    from bagel_tpu.utils.quant import dequantize_weight4, quantize_weight_int4
+
+    rng = np.random.default_rng(1)
+    w = jnp.asarray(rng.standard_normal((3, 256, 32)) * 0.1, jnp.float32)
+    q = quantize_weight_int4(w, group=64)
+    assert q["w_p4"].shape == (3, 128, 32)
+    assert q["scale4"].shape == (3, 4, 32)
+    deq = dequantize_weight4(q, jnp.float32)
+    assert deq.shape == w.shape
+    assert float(jnp.abs(deq - w).max()) < 0.035
+
+
+def test_quantize_llm_params_int4_engine_runs():
+    """End-to-end: int4-quantized tiny engine still generates."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from bagel_tpu.configs import tiny_bagel
+    from bagel_tpu.data.tokenizer import MockTokenizer
+    from bagel_tpu.inference.engine import BagelEngine
+    from bagel_tpu.models.bagel import init_bagel_params
+    from bagel_tpu.utils.quant import quantize_bagel_params
+
+    cfg = tiny_bagel()
+    tok = MockTokenizer(cfg.llm.vocab_size)
+    params = init_bagel_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    qparams = quantize_bagel_params(params, "int4")
+    eng = BagelEngine(qparams, cfg, tok, tok.new_token_ids, max_kv=512)
+    out = eng(text="a cat", image_shapes=(32, 32), num_timesteps=4,
+              cfg_text_scale=2.0, rng=jax.random.PRNGKey(1))
+    assert out["image"].shape == (32, 32, 3)
+    assert np.isfinite(out["image"].astype(np.float32)).all()

@@ -349,3 +349,38 @@ def test_gen_scorer_layout_end_to_end(tmp_path):
     assert summary["total_images"] == 2
     results = [json.loads(l) for l in open(outdir / "geneval.jsonl")]
     assert results[0]["correct"] and not results[1]["correct"]
+
+
+def test_mathvista_normalization_and_score():
+    from bagel_tpu.eval.scorers.mathvista import (
+        mathvista_score,
+        normalize_extracted_answer,
+    )
+
+    choices = ["red", "green", "blue"]
+    assert normalize_extracted_answer("(B) green", choices,
+                                      "multi_choice", "", 0) == "green"
+    assert normalize_extracted_answer("B", choices,
+                                      "multi_choice", "", 0) == "green"
+    # nearest-edit-distance fallback
+    assert normalize_extracted_answer("gren", choices,
+                                      "multi_choice", "", 0) == "green"
+    assert normalize_extracted_answer("3.0", [], "free_form",
+                                      "integer", 0) == "3"
+    assert normalize_extracted_answer("3.14159", [], "free_form",
+                                      "float", 2) == "3.14"
+    assert normalize_extracted_answer("junk", [], "free_form",
+                                      "integer", 0) is None
+
+    rows = [
+        {"extraction": "(A)", "choices": ["yes", "no"],
+         "question_type": "multi_choice", "answer": "yes", "task": "vqa",
+         "skills": ["logic"]},
+        {"extraction": "7", "choices": [], "question_type": "free_form",
+         "answer_type": "integer", "answer": "8", "task": "vqa",
+         "skills": ["arith", "logic"]},
+    ]
+    out = mathvista_score(rows)
+    assert out["accuracy"] == 0.5
+    assert out["task"]["vqa"] == 0.5
+    assert out["skills"]["arith"] == 0.0 and out["skills"]["logic"] == 0.5
