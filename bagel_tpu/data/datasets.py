@@ -33,6 +33,32 @@ ImageFile.LOAD_TRUNCATED_IMAGES = True
 PngImagePlugin.MAX_TEXT_CHUNK = 1024 * 2**20
 
 
+def _decode_rows_batched(rows, transform: ImageTransform, window: int = 8):
+    """Decode a stream of (meta, image_bytes) into (meta, HWC float array)
+    through the native threaded decode+resize pool (native/imagepool.cc) in
+    look-ahead windows; PIL fallback per image. Rows that fail to decode are
+    dropped — the reference's try/except-continue (t2i_dataset.py:45-49).
+    """
+    from bagel_tpu.native.imagepool import JpegBatchTransform
+
+    batch_tf = JpegBatchTransform(transform)
+    pending: list = []
+
+    def flush():
+        outs = batch_tf([b for _, b in pending])
+        for (meta, _), arr in zip(pending, outs):
+            if arr is not None:
+                yield meta, arr
+        pending.clear()
+
+    for item in rows:
+        pending.append(item)
+        if len(pending) >= window:
+            yield from flush()
+    if pending:
+        yield from flush()
+
+
 def list_parquet_files(data_dir_list: Sequence[str], num_used: Sequence[int]):
     """Deterministic parquet discovery (parquet_utils.py:15-56 without the
     HDFS/all_gather machinery — local filesystems list identically on every
@@ -122,13 +148,18 @@ class T2IIterableDataset(DistributedIterable):
                 fr = pq.ParquetFile(path)
                 for rg in range(rg_start, fr.num_row_groups):
                     df = fr.read_row_group(rg).to_pandas().iloc[row_start:]
-                    for row_idx, row in df.iterrows():
-                        try:
-                            image = pil_img2rgb(Image.open(io.BytesIO(row["image"])))
-                            captions = json.loads(row["captions"])
-                        except Exception:
-                            continue
-                        image_arr = self.transform(image)
+
+                    def rows():
+                        for row_idx, row in df.iterrows():
+                            try:
+                                captions = json.loads(row["captions"])
+                            except Exception:
+                                continue
+                            yield (row_idx, captions), row["image"]
+
+                    for (row_idx, captions), image_arr in _decode_rows_batched(
+                        rows(), self.transform
+                    ):
                         h, w = image_arr.shape[:2]
                         num_tokens = w * h // stride**2
                         caps = [self.tokenizer.encode(v) for v in captions.values()]

@@ -464,8 +464,9 @@ class BagelEngine:
 
         # capacity: the padded query block is written into the buffer at
         # kv_len even when the cache is not updated; dynamic_update_slice
-        # would clamp (and corrupt) an overflowing write.
-        tb = -(-(n + 2) // 256) * 256
+        # would clamp (and corrupt) an overflowing write. Block padding must
+        # match _make_flow_v's backend-dependent bucketing.
+        tb = -(-(n + 2) // 256) * 256 if jax.default_backend() == "tpu" else n + 2
         assert ctx.kv_len + tb <= self.max_kv, (
             f"KV buffer too small: kv_len={ctx.kv_len} + block={tb} > "
             f"max_kv={self.max_kv}"

@@ -638,6 +638,7 @@ def decode_text(
     rng: Optional[jax.Array] = None,
     precision=None,
     early_stop: bool = True,
+    active: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, KVCache]:
     """Autoregressive decode in one jitted loop. Returns [B, max_steps]
     tokens (eos-padded after stop) and the final cache.
@@ -645,6 +646,12 @@ def decode_text(
     early_stop=True uses lax.while_loop and exits as soon as every row hit
     eos (the reference's Python loop break, bagel.py:996); False uses a
     fixed-length scan (differentiable, deterministic step count).
+
+    active: optional [B] bool. Rows with active=False are frozen: they emit
+    eos immediately and their cache length never advances — this is what
+    lets a continuous-batching server (serving/runtime.py) decode a slot
+    batch where some slots are empty or already finished, without
+    corrupting those slots' KV state.
     """
     b = start_tokens.shape[0]
     if rng is None:
@@ -652,9 +659,12 @@ def decode_text(
 
     def one_step(cache, tok, pos, done, rng):
         embeds = embed_tokens(params, tok)[:, None, :]
+        q_valid = (
+            (~done).astype(jnp.int32) if active is not None
+            else jnp.ones((b,), jnp.int32)
+        )
         hidden, cache = llm_extend(
-            params, cfg, embeds, pos[:, None], cache,
-            jnp.ones((b,), jnp.int32),
+            params, cfg, embeds, pos[:, None], cache, q_valid,
             und_len=1, causal=True, update_cache=True, precision=precision,
         )
         logits = lm_logits(params, hidden[:, 0], precision)
@@ -667,7 +677,7 @@ def decode_text(
         done = done | (nxt == eos_id)
         return cache, nxt, pos + 1, done, rng
 
-    done0 = jnp.zeros((b,), bool)
+    done0 = ~active if active is not None else jnp.zeros((b,), bool)
     if early_stop:
         out0 = jnp.full((b, max_steps), eos_id, start_tokens.dtype)
 

@@ -1,0 +1,360 @@
+"""Continuous-batching serving runtime (beyond-reference component).
+
+The reference serves one request at a time through a Gradio callback
+(app.py:205-246 — each click runs the full inferencer synchronously). On a
+TPU chip that wastes most of the duty cycle: decode is bandwidth-bound, so
+batching B understanding sessions costs nearly the same per step as one.
+
+This runtime keeps a slot-batched KV cache `[L, slots, max_kv, KH, D]` and a
+scheduler thread that:
+
+- admits queued chat (understanding) requests into free slots: per-row-valid
+  prefill writes each new conversation into its own cache rows while other
+  rows carry live sessions untouched (the same ragged-batch machinery as
+  engine.chat_batch);
+- decodes all active slots together in fixed-size chunks through the jitted
+  `decode_text(active=...)` loop — one device roundtrip per chunk, not per
+  token, which matters on high-latency links;
+- retires rows that emit EOS or exhaust their budget and immediately refills
+  the slots from the queue (continuous batching a la Orca/vLLM, re-designed
+  around static-shape XLA loops: the batch shape never changes, liveness is
+  data);
+- interleaves image-generation jobs (T2I / edit, whole denoise runs) between
+  decode chunks so mixed und/gen traffic shares the chip fairly.
+
+Usage:
+    rt = ServingRuntime(engine, slots=4, decode_chunk=16)
+    rt.start()
+    fut = rt.submit_chat("what is in this image?", image=arr)
+    ans = fut.result()
+    img = rt.submit_generate("a red bicycle", image_shapes=(512, 512)).result()
+    rt.stop()
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import queue
+import threading
+from functools import partial
+from typing import List, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from bagel_tpu.inference.engine import _bucket, _extend_jit
+from bagel_tpu.models import qwen2
+from bagel_tpu.models.bagel import encode_vit_tokens
+from bagel_tpu.models.qwen2 import KVCache, kv_cache_init
+
+
+class Future:
+    """Minimal blocking future (no concurrent.futures executor semantics)."""
+
+    def __init__(self):
+        self._evt = threading.Event()
+        self._result = None
+        self._error: Optional[BaseException] = None
+
+    def set_result(self, value):
+        self._result = value
+        self._evt.set()
+
+    def set_error(self, err: BaseException):
+        self._error = err
+        self._evt.set()
+
+    def done(self) -> bool:
+        return self._evt.is_set()
+
+    def result(self, timeout: Optional[float] = None):
+        if not self._evt.wait(timeout):
+            raise TimeoutError("request not finished")
+        if self._error is not None:
+            raise self._error
+        return self._result
+
+
+@dataclasses.dataclass
+class _ChatRequest:
+    prompt: str
+    image: Optional[np.ndarray]
+    max_new_tokens: int
+    future: Future
+
+
+@dataclasses.dataclass
+class _GenRequest:
+    kwargs: dict
+    future: Future
+
+
+@dataclasses.dataclass
+class _Slot:
+    req: _ChatRequest
+    next_token: int  # decode input token for the next chunk
+    next_pos: int  # its rope position
+    produced: List[int] = dataclasses.field(default_factory=list)
+
+
+@partial(jax.jit, static_argnames=("cfg", "max_steps", "eos_id"))
+def _decode_chunk_jit(params, cfg, cache, start, pos, active, *, max_steps,
+                      eos_id):
+    return qwen2.decode_text(
+        params["llm"], cfg.llm, cache, start, pos,
+        max_steps=max_steps, eos_id=eos_id, active=active,
+    )
+
+
+class ServingRuntime:
+    def __init__(
+        self,
+        engine,
+        slots: int = 4,
+        decode_chunk: int = 16,
+        max_new_default: int = 256,
+    ):
+        self.engine = engine
+        self.slots = slots
+        self.decode_chunk = decode_chunk
+        self.max_new_default = max_new_default
+        self.cache: KVCache = kv_cache_init(
+            engine.cfg.llm, slots, engine.max_kv, engine.cache_dtype
+        )
+        self.slot_state: List[Optional[_Slot]] = [None] * slots
+        self.chat_q: "queue.Queue[_ChatRequest]" = queue.Queue()
+        self.gen_q: "queue.Queue[_GenRequest]" = queue.Queue()
+        self._stop = threading.Event()
+        self._wake = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+        self.stats = {"chat_done": 0, "gen_done": 0, "chunks": 0,
+                      "tokens_out": 0}
+
+    # -- client API ----------------------------------------------------------
+
+    def submit_chat(
+        self, prompt: str, image: Optional[np.ndarray] = None,
+        max_new_tokens: Optional[int] = None,
+    ) -> Future:
+        """Queue an understanding request. image: HWC float in [-1, 1]
+        (already transform-resized), or None for text-only."""
+        fut = Future()
+        self.chat_q.put(_ChatRequest(
+            prompt, image, max_new_tokens or self.max_new_default, fut
+        ))
+        self._wake.set()
+        return fut
+
+    def submit_generate(self, prompt: Optional[str] = None,
+                        image: Optional[np.ndarray] = None, **kwargs) -> Future:
+        """Queue a T2I / edit job (engine.__call__ kwargs)."""
+        fut = Future()
+        kw = dict(kwargs)
+        if prompt is not None:
+            kw["text"] = prompt
+        if image is not None:
+            kw["image"] = image
+        self.gen_q.put(_GenRequest(kw, fut))
+        self._wake.set()
+        return fut
+
+    def start(self):
+        assert self._thread is None
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def stop(self, timeout: float = 30.0):
+        self._stop.set()
+        self._wake.set()
+        if self._thread is not None:
+            self._thread.join(timeout)
+            self._thread = None
+
+    # -- scheduler internals ---------------------------------------------------
+
+    def _free_rows(self) -> List[int]:
+        return [i for i, s in enumerate(self.slot_state) if s is None]
+
+    def _admit(self):
+        """Move queued chat requests into free slots (one batched prefill)."""
+        rows, reqs = [], []
+        free = self._free_rows()
+        while free and not self.chat_q.empty():
+            try:
+                req = self.chat_q.get_nowait()
+            except queue.Empty:
+                break
+            rows.append(free.pop(0))
+            reqs.append(req)
+        if not rows:
+            return
+        try:
+            self._prefill_rows(rows, reqs)
+        except Exception as e:  # bad request must not kill the scheduler
+            for r, req in zip(rows, reqs):
+                self.slot_state[r] = None
+                req.future.set_error(e)
+
+    def _prefill_rows(self, rows: List[int], reqs: List[_ChatRequest]):
+        eng = self.engine
+        cfg = eng.cfg
+        b = self.slots
+        # reset the admitted rows' cache lengths (their KV rows are dead)
+        length = self.cache.length
+        for i in rows:
+            length = length.at[i].set(0)
+        self.cache = dataclasses.replace(self.cache, length=length)
+        rope = {i: 0 for i in rows}
+
+        # --- image blocks: [start, end, vit tokens..., pad] per row ---------
+        with_img = [(i, req) for i, req in zip(rows, reqs)
+                    if req.image is not None]
+        if with_img:
+            patch = cfg.vit.patch_size
+            boundary = eng._boundary_ids()
+            per_row, all_p, all_pos, all_seg = {}, [], [], []
+            off = 0
+            for seg, (i, req) in enumerate(with_img, start=1):
+                img = eng._crop_to_multiple(req.image, patch)
+                patches, pos, _, _ = eng._prep_image_tokens(
+                    img, patch, cfg.vit_max_num_patch_per_side
+                )
+                per_row[i] = (off, patches.shape[0])
+                off += patches.shape[0]
+                all_p.append(patches)
+                all_pos.append(pos)
+                all_seg.append(np.full(patches.shape[0], seg, np.int32))
+            flat = np.concatenate(all_p, 0)
+            nb = _bucket(flat.shape[0], 64)
+            packed = np.zeros((nb, flat.shape[1]), np.float32)
+            packed[: flat.shape[0]] = flat
+            pos_p = np.zeros(nb, np.int32)
+            pos_p[: flat.shape[0]] = np.concatenate(all_pos, 0)
+            seg_p = np.zeros(nb, np.int32)
+            seg_p[: flat.shape[0]] = np.concatenate(all_seg, 0)
+            vit_emb = encode_vit_tokens(
+                eng.params, cfg, jnp.asarray(packed, eng.cache_dtype),
+                jnp.asarray(pos_p), jnp.asarray(seg_p),
+            )
+            tok_emb = qwen2.embed_tokens(eng.params["llm"], boundary)
+            tb = _bucket(max(n for _, n in per_row.values()) + 2, 64)
+            blocks = jnp.zeros((b, tb, vit_emb.shape[-1]), vit_emb.dtype)
+            valid = np.zeros(b, np.int32)
+            for i, (o, n) in per_row.items():
+                blocks = blocks.at[i, : n + 2].set(
+                    jnp.concatenate([tok_emb, vit_emb[o : o + n]], axis=0)
+                )
+                valid[i] = n + 2
+            _, self.cache = _extend_jit(
+                eng.params, cfg, self.cache, blocks,
+                jnp.zeros((b, tb), jnp.int32), jnp.asarray(valid),
+                causal=False,
+            )
+            for i in per_row:
+                rope[i] = 1
+
+        # --- text blocks, causal ---------------------------------------------
+        ids_list = {
+            i: [eng.new_token_ids["bos_token_id"]]
+            + eng.tokenizer.encode(req.prompt)
+            + [eng.new_token_ids["eos_token_id"]]
+            for i, req in zip(rows, reqs)
+        }
+        tb = _bucket(max(len(x) for x in ids_list.values()))
+        ids = np.zeros((b, tb), np.int32)
+        pos = np.zeros((b, tb), np.int32)
+        valid = np.zeros(b, np.int32)
+        for i, x in ids_list.items():
+            ids[i, : len(x)] = x
+            pos[i, : len(x)] = rope[i] + np.arange(len(x))
+            valid[i] = len(x)
+        embeds = qwen2.embed_tokens(eng.params["llm"], jnp.asarray(ids))
+        _, self.cache = _extend_jit(
+            eng.params, cfg, self.cache, embeds, jnp.asarray(pos),
+            jnp.asarray(valid), causal=True,
+        )
+        for i, req in zip(rows, reqs):
+            self.slot_state[i] = _Slot(
+                req=req,
+                next_token=eng.new_token_ids["bos_token_id"],
+                next_pos=rope[i] + len(ids_list[i]),
+            )
+
+    def _decode_step(self):
+        """One decode chunk over all active slots; retire finished rows."""
+        eng = self.engine
+        b = self.slots
+        eos = eng.new_token_ids["eos_token_id"]
+        start = np.full(b, eos, np.int32)
+        pos = np.zeros(b, np.int32)
+        active = np.zeros(b, bool)
+        for i, s in enumerate(self.slot_state):
+            if s is not None:
+                start[i], pos[i], active[i] = s.next_token, s.next_pos, True
+        if not active.any():
+            return
+        # capacity: a chunk appends at most decode_chunk tokens per row
+        assert int(np.asarray(self.cache.length).max()) + self.decode_chunk \
+            <= eng.max_kv, "KV buffer exhausted; raise max_kv or retire slots"
+        toks, self.cache = _decode_chunk_jit(
+            eng.params, eng.cfg, self.cache, jnp.asarray(start),
+            jnp.asarray(pos), jnp.asarray(active),
+            max_steps=self.decode_chunk, eos_id=eos,
+        )
+        toks = np.asarray(toks)
+        self.stats["chunks"] += 1
+        for i, s in enumerate(self.slot_state):
+            if s is None:
+                continue
+            row = toks[i].tolist()
+            hit_eos = eos in row
+            new = row[: row.index(eos)] if hit_eos else row
+            budget = s.req.max_new_tokens - len(s.produced)
+            s.produced.extend(new[:budget])
+            self.stats["tokens_out"] += len(new[:budget])
+            if hit_eos or len(s.produced) >= s.req.max_new_tokens:
+                s.req.future.set_result(eng.tokenizer.decode(s.produced))
+                self.slot_state[i] = None
+                self.stats["chat_done"] += 1
+            else:
+                s.next_token = new[-1]
+                s.next_pos += self.decode_chunk
+
+    def _run_one_gen(self):
+        try:
+            req = self.gen_q.get_nowait()
+        except queue.Empty:
+            return
+        try:
+            req.future.set_result(self.engine(**req.kwargs))
+            self.stats["gen_done"] += 1
+        except Exception as e:
+            req.future.set_error(e)
+
+    def _loop(self):
+        while not self._stop.is_set():
+            self._admit()
+            busy = any(s is not None for s in self.slot_state)
+            if busy:
+                self._decode_step()
+            # fair interleave: at most one gen job between decode chunks
+            if not self.gen_q.empty():
+                self._run_one_gen()
+                busy = True
+            if not busy and self.chat_q.empty():
+                self._wake.wait(timeout=0.05)
+                self._wake.clear()
+        # drain: fail whatever is still queued so clients don't hang
+        err = RuntimeError("runtime stopped")
+        for i, s in enumerate(self.slot_state):
+            if s is not None and not s.req.future.done():
+                s.req.future.set_error(err)
+                self.slot_state[i] = None
+        for q in (self.chat_q, self.gen_q):
+            while True:
+                try:
+                    q.get_nowait().future.set_error(err)
+                except queue.Empty:
+                    break

@@ -1,0 +1,87 @@
+"""Continuous-batching serving runtime: parity with single-session decode,
+slot reuse, and mixed und/gen scheduling (serving/runtime.py)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from bagel_tpu.configs import tiny_bagel
+from bagel_tpu.data.tokenizer import MockTokenizer
+from bagel_tpu.inference.engine import BagelEngine
+from bagel_tpu.models.bagel import init_bagel_params
+from bagel_tpu.serving.runtime import ServingRuntime
+
+
+@pytest.fixture(scope="module")
+def engine():
+    cfg = tiny_bagel()
+    tok = MockTokenizer(cfg.llm.vocab_size)
+    params = init_bagel_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    # sharpen near-uniform random logits so greedy argmax is robust to fp
+    # reduction-order noise between batched and single packing
+    params["llm"]["lm_head"]["w"] = params["llm"]["lm_head"]["w"] * 8.0
+    return BagelEngine(params, cfg, tok, tok.new_token_ids, max_kv=512)
+
+
+def _sequential(engine, image, prompt, max_new):
+    ctx = engine.init_context()
+    if image is not None:
+        ctx = engine.update_context_image(image, ctx, vae=False, vit=True)
+    ctx = engine.update_context_text(prompt, ctx)
+    return engine.gen_text(ctx, max_length=max_new)
+
+
+def test_runtime_chat_parity_and_slot_reuse(engine):
+    rng = np.random.default_rng(0)
+    images = [
+        rng.standard_normal((28, 28, 3)).astype(np.float32) * 0.3,
+        None,
+        rng.standard_normal((28, 42, 3)).astype(np.float32) * 0.3,
+    ]
+    prompts = ["what is this?", "just text", "and this?"]
+
+    # slots=2 with 3 requests forces a retire + refill (continuous batching)
+    rt = ServingRuntime(engine, slots=2, decode_chunk=3, max_new_default=6)
+    rt.start()
+    try:
+        futs = [rt.submit_chat(p, image=im) for p, im in zip(prompts, images)]
+        got = [f.result(timeout=600) for f in futs]
+    finally:
+        rt.stop()
+
+    assert rt.stats["chat_done"] == 3
+    for im, p, g in zip(images, prompts, got):
+        want = _sequential(engine, im, p, 6)
+        # budget quantization: the runtime retires on eos or budget; compare
+        # the prefix up to the shorter of the two
+        assert g == want, (p, g, want)
+
+
+def test_runtime_mixed_und_gen(engine):
+    rt = ServingRuntime(engine, slots=2, decode_chunk=2, max_new_default=4)
+    rt.start()
+    try:
+        chat = rt.submit_chat("hello")
+        gen = rt.submit_generate(
+            "a thing", image_shapes=(64, 64), num_timesteps=3,
+            cfg_text_scale=1.0, cfg_img_scale=1.0,
+        )
+        ans = chat.result(timeout=600)
+        out = gen.result(timeout=600)
+    finally:
+        rt.stop()
+    assert isinstance(ans, str) and len(ans) > 0
+    assert out["image"].shape == (64, 64, 3) and out["image"].dtype == np.uint8
+    assert rt.stats["gen_done"] == 1
+
+
+def test_runtime_stop_fails_pending(engine):
+    rt = ServingRuntime(engine, slots=1, decode_chunk=2, max_new_default=4)
+    # never started: queued request must be failed by stop(), not hang
+    fut = rt.submit_chat("will never run")
+    rt.start()
+    rt.stop()
+    with pytest.raises((RuntimeError, TimeoutError)):
+        fut.result(timeout=5)
