@@ -63,7 +63,12 @@ GEN_THINK_SYSTEM_PROMPT = (
 )
 
 
-def _bucket(n: int, step: int = 32) -> int:
+def _bucket(n: int, step: Optional[int] = None) -> int:
+    """Pad n up to a bucket boundary. On TPU the default step is 128 so
+    prefill blocks meet the flash kernel's t % 128 == 0 eligibility
+    (ops/flash.py); elsewhere 32 keeps CPU-test compiles small."""
+    if step is None:
+        step = 128 if jax.default_backend() == "tpu" else 32
     return max(step, -(-n // step) * step)
 
 
@@ -394,7 +399,9 @@ class BagelEngine:
                 image, patch, self.cfg.vit_max_num_patch_per_side
             )
             n = patches.shape[0]
-            nb = _bucket(n, 64)
+            # pad so the LLM block [start, end, tokens...] is itself
+            # flash-eligible: (nb + 2) lands on a bucket boundary
+            nb = _bucket(n + 2) - 2
             patches_p = np.zeros((nb, patches.shape[1]), np.float32)
             patches_p[:n] = patches
             pos_p = np.zeros(nb, np.int32)
@@ -624,7 +631,7 @@ class BagelEngine:
             tok_emb = qwen2.embed_tokens(self.params["llm"], boundary)
 
             max_tok = max(n for (_, n) in per_row.values())
-            tb = _bucket(max_tok + 2, 64)
+            tb = _bucket(max_tok + 2)
             d = vit_emb.shape[-1]
             blocks = jnp.zeros((b, tb, d), vit_emb.dtype)
             valid = np.zeros(b, np.int32)

@@ -239,7 +239,7 @@ class ServingRuntime:
                 jnp.asarray(pos_p), jnp.asarray(seg_p),
             )
             tok_emb = qwen2.embed_tokens(eng.params["llm"], boundary)
-            tb = _bucket(max(n for _, n in per_row.values()) + 2, 64)
+            tb = _bucket(max(n for _, n in per_row.values()) + 2)
             blocks = jnp.zeros((b, tb, vit_emb.shape[-1]), vit_emb.dtype)
             valid = np.zeros(b, np.int32)
             for i, (o, n) in per_row.items():

@@ -433,10 +433,10 @@ def main():
         image, steps = args.image or 128, args.steps or 6
         elapsed, detail = run_denoise_production(2, image, steps, "fp32")
         depth, dtype = 2, "fp32"
-        ddepth, decode_tok_s = 2, None
+        decode_points = []
         try:
-            decode_tok_s = run_decode_bench(2, "fp32", prompt_len=32,
-                                            new_tokens=4)
+            decode_points = [(2, run_decode_bench(2, "fp32", prompt_len=32,
+                                                  new_tokens=4))]
         except Exception:
             pass
     else:
@@ -450,13 +450,16 @@ def main():
             if r and "elapsed" in r:
                 elapsed, detail = r["elapsed"], r.get("detail", {})
                 break
-        decode_tok_s = None
+        # decode at two depths: per-token time is affine in depth
+        # (t = a + b*d; the 1.1 GB lm_head read and loop overhead don't
+        # scale with layer count), so two points give a far better 28-layer
+        # estimate than naive linear scaling
+        decode_points = []
         for ddepth, ddtype in [(8, "bf16"), (4, "bf16")]:
             r = _spawn("decode", ddepth, ddtype, image, steps, args.schedule,
                        timeout=1500)
             if r and "decode" in r:
-                decode_tok_s = r["decode"]
-                break
+                decode_points.append((ddepth, r["decode"]))
 
     if elapsed is None:
         print(json.dumps({"metric": "bench_failed", "value": 0, "unit": "",
@@ -491,12 +494,25 @@ def main():
             **(detail or {}),
         },
     }
-    if decode_tok_s is not None:
-        result["detail"]["vqa_decode_tok_per_s_measured"] = round(decode_tok_s, 2)
+    if decode_points:
+        result["detail"]["vqa_decode_measured"] = [
+            {"depth": d, "tok_per_s": round(r, 2)} for d, r in decode_points
+        ]
+        if len(decode_points) >= 2 and decode_points[0][0] != decode_points[1][0]:
+            (d1, r1), (d2, r2) = decode_points[:2]
+            t1, t2 = 1.0 / r1, 1.0 / r2
+            b = (t1 - t2) / (d1 - d2)  # s per layer per token
+            a = t1 - b * d1  # depth-independent cost (lm_head, loop)
+            tok28 = 1.0 / (a + b * FULL_DEPTH) if b > 0 else r1 * d1 / FULL_DEPTH
+            basis = f"affine fit over depths {d1},{d2}"
+        else:
+            d1, r1 = decode_points[0]
+            tok28 = r1 * d1 / FULL_DEPTH
+            basis = f"linear from depth {d1}"
         result["detail"]["vqa_decode_tok_per_s_28layer_extrapolated"] = round(
-            decode_tok_s * ddepth / FULL_DEPTH, 2
+            tok28, 2
         )
-        result["detail"]["vqa_decode_depth"] = ddepth
+        result["detail"]["vqa_decode_extrapolation"] = basis
         result["detail"]["vqa_decode_baseline"] = "40 tok/s/chip"
     print(json.dumps(result))
 
