@@ -97,8 +97,8 @@ def block_liveness(
 def _sparse_kernel(
     live_idx_ref, live_cnt_ref,  # scalar prefetch [nq, nk], [nq]
     q_ref, k_ref, v_ref,  # [1, bq, D], [1, bk, D]
-    docq_ref, fanq_ref, noiq_ref,  # [1, bq]
-    dock_ref, fank_ref, noik_ref,  # [1, bk]
+    docq_ref, fanq_ref, noiq_ref,  # [1, 1, bq]
+    dock_ref, fank_ref, noik_ref,  # [1, 1, bk]
     o_ref,
     m_scr, l_scr, acc_scr,
     *, block_q: int, block_k: int, scale: float,
@@ -128,12 +128,12 @@ def _sparse_kernel(
         cols = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
         q_pos = iq * block_q + rows
         k_pos = kb * block_k + cols
-        doc_q = docq_ref[0][:, None]
-        doc_k = dock_ref[0][None, :]
-        fan_q = fanq_ref[0][:, None]
-        fan_k = fank_ref[0][None, :]
-        noi_q = noiq_ref[0][:, None]
-        noi_k = noik_ref[0][None, :]
+        doc_q = docq_ref[0, 0][:, None]
+        doc_k = dock_ref[0, 0][None, :]
+        fan_q = fanq_ref[0, 0][:, None]
+        fan_k = fank_ref[0, 0][None, :]
+        noi_q = noiq_ref[0, 0][:, None]
+        noi_k = noik_ref[0, 0][None, :]
         same_doc = (doc_q == doc_k) & (doc_q != 0)
         same_fan = (fan_q == fan_k) & (fan_q >= 0)
         remove_noise = jnp.logical_not((noi_k >= 0) & (noi_q != noi_k))
@@ -172,12 +172,16 @@ def _sparse_forward(
     qt = q.transpose(1, 0, 2)  # [H, S, D]
     kt = k.transpose(1, 0, 2)  # [KH, S, D]
     vt = v.transpose(1, 0, 2)
-    docq = document_id.reshape(nq, block_q)
-    fanq = fan_id.reshape(nq, block_q)
-    noiq = noise_id.reshape(nq, block_q)
-    dock = document_id.reshape(nk, block_k)
-    fank = fan_id.reshape(nk, block_k)
-    noik = noise_id.reshape(nk, block_k)
+    # metadata as [n, 1, block]: TPU lowering needs the block's last two
+    # dims (8, 128)-divisible or equal to the array dims — (1, block) rows
+    # of a [n, block] array violate that, (1, 1, block) of [n, 1, block]
+    # satisfies it
+    docq = document_id.reshape(nq, 1, block_q)
+    fanq = fan_id.reshape(nq, 1, block_q)
+    noiq = noise_id.reshape(nq, 1, block_q)
+    dock = document_id.reshape(nk, 1, block_k)
+    fank = fan_id.reshape(nk, 1, block_k)
+    noik = noise_id.reshape(nk, 1, block_k)
 
     def qmap(hh, qq, ss, live_idx, live_cnt):
         return (hh, qq, 0)
@@ -186,10 +190,10 @@ def _sparse_forward(
         return (hh // g, live_idx[qq, ss], 0)
 
     def qmeta(hh, qq, ss, live_idx, live_cnt):
-        return (qq, 0)
+        return (qq, 0, 0)
 
     def kmeta(hh, qq, ss, live_idx, live_cnt):
-        return (live_idx[qq, ss], 0)
+        return (live_idx[qq, ss], 0, 0)
 
     kernel = functools.partial(
         _sparse_kernel, block_q=block_q, block_k=block_k, scale=scale,
@@ -203,12 +207,12 @@ def _sparse_forward(
                 pl.BlockSpec((1, block_q, d), qmap),
                 pl.BlockSpec((1, block_k, d), kvmap),
                 pl.BlockSpec((1, block_k, d), kvmap),
-                pl.BlockSpec((1, block_q), qmeta),
-                pl.BlockSpec((1, block_q), qmeta),
-                pl.BlockSpec((1, block_q), qmeta),
-                pl.BlockSpec((1, block_k), kmeta),
-                pl.BlockSpec((1, block_k), kmeta),
-                pl.BlockSpec((1, block_k), kmeta),
+                pl.BlockSpec((1, 1, block_q), qmeta),
+                pl.BlockSpec((1, 1, block_q), qmeta),
+                pl.BlockSpec((1, 1, block_q), qmeta),
+                pl.BlockSpec((1, 1, block_k), kmeta),
+                pl.BlockSpec((1, 1, block_k), kmeta),
+                pl.BlockSpec((1, 1, block_k), kmeta),
             ],
             out_specs=pl.BlockSpec((1, block_q, d), qmap),
             scratch_shapes=[
@@ -263,9 +267,11 @@ def _bwd(block_q, block_k, scale, interpret, bwd_chunk, res, g):
     from bagel_tpu.ops.chunked import chunked_packed_attention
 
     q, k, v, doc, fan, noi = res
+    s = q.shape[0]
+    chunk = bwd_chunk if s % bwd_chunk == 0 else s  # chunk must divide S
     _, vjp = jax.vjp(
         lambda q_, k_, v_: chunked_packed_attention(
-            q_, k_, v_, doc, fan, noi, chunk=bwd_chunk, scale=scale
+            q_, k_, v_, doc, fan, noi, chunk=chunk, scale=scale
         ),
         q, k, v,
     )
