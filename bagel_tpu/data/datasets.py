@@ -60,14 +60,15 @@ def _decode_rows_batched(rows, transform: ImageTransform, window: int = 8):
 
 
 def list_parquet_files(data_dir_list: Sequence[str], num_used: Sequence[int]):
-    """Deterministic parquet discovery (parquet_utils.py:15-56 without the
-    HDFS/all_gather machinery — local filesystems list identically on every
-    host)."""
+    """Deterministic parquet discovery (parquet_utils.py:15-56). Local and
+    `hdfs://` directories both work (data/filesystem.py); local listings are
+    identical on every host, HDFS multi-host discovery can use
+    filesystem.get_parquet_data_paths for rank-sharded listing."""
+    from bagel_tpu.data.filesystem import list_dir
+
     paths = []
     for d, n in zip(data_dir_list, num_used):
-        files = sorted(
-            os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
-        )
+        files = sorted(f for f in list_dir(d) if f.endswith(".parquet"))
         if n and n > 0:
             if n < len(files):
                 files = files[:n]
@@ -133,7 +134,7 @@ class T2IIterableDataset(DistributedIterable):
         self.set_epoch()
 
     def __iter__(self):
-        import pyarrow.parquet as pq
+        from bagel_tpu.data.filesystem import open_parquet
 
         paths, worker_id = self.get_data_paths_per_worker()
         if self.data_status is not None and worker_id in self.data_status:
@@ -145,7 +146,7 @@ class T2IIterableDataset(DistributedIterable):
 
         while True:
             for pq_idx, path in enumerate(paths[pq_start:], start=pq_start):
-                fr = pq.ParquetFile(path)
+                fr = open_parquet(path)
                 for rg in range(rg_start, fr.num_row_groups):
                     df = fr.read_row_group(rg).to_pandas().iloc[row_start:]
 
@@ -409,14 +410,14 @@ class ParquetStandardIterableDataset(DistributedIterable):
         self.set_epoch()
 
     def _row_groups(self, data_dir_list, num_used_data, parquet_info):
-        import pyarrow.parquet as pq
+        from bagel_tpu.data.filesystem import open_parquet
 
         row_groups = []
         for path in list_parquet_files(data_dir_list, num_used_data):
             if parquet_info and path in parquet_info:
                 n = parquet_info[path]["num_row_groups"]
             else:
-                n = pq.ParquetFile(path).num_row_groups
+                n = open_parquet(path).num_row_groups
             row_groups.extend((path, i) for i in range(n))
         return row_groups
 
@@ -424,7 +425,7 @@ class ParquetStandardIterableDataset(DistributedIterable):
         raise NotImplementedError
 
     def __iter__(self):
-        import pyarrow.parquet as pq
+        from bagel_tpu.data.filesystem import open_parquet
 
         groups, worker_id = self.get_data_paths_per_worker()
         g_start = row_start = 0
@@ -435,7 +436,7 @@ class ParquetStandardIterableDataset(DistributedIterable):
         while True:
             for g_idx, (path, rg) in enumerate(groups[g_start:], start=g_start):
                 try:
-                    df = pq.ParquetFile(path).read_row_group(rg).to_pandas()
+                    df = open_parquet(path).read_row_group(rg).to_pandas()
                     df = df.iloc[row_start:]
                 except Exception:
                     continue

@@ -109,10 +109,11 @@ def fast_llm_params(cfg, dtype, vocab_rows=None, head_cols=None):
     }
 
 
-def _fast_quantized_llm(cfg, rng: "np.random.Generator",
-                        vocab_rows: int = None, head_cols: int = None):
+def _fast_quantized_llm(cfg, vocab_rows: int = None, head_cols: int = None):
     """int8 weight-only variant (structure of utils.quant.quantize_llm_params
-    output), host-side numpy (int8 halves the tunnel transfer)."""
+    output), built on device like fast_llm_params — full 28-layer int8
+    (~14 GB) fits one 16 GB chip, giving a MEASURED full-depth number."""
+    import jax
     import jax.numpy as jnp
 
     L, d, hd = cfg.num_hidden_layers, cfg.hidden_size, cfg.head_dim
@@ -121,11 +122,18 @@ def _fast_quantized_llm(cfg, rng: "np.random.Generator",
     f = cfg.intermediate_size
     v = vocab_rows or cfg.vocab_size
     hc = head_cols or cfg.vocab_size
+    block = jax.random.randint(
+        jax.random.PRNGKey(0), (256, 256), -127, 127, jnp.int32
+    ).astype(jnp.int8)
 
     def q(shape):
+        r, c = shape[-2], shape[-1]
+        t = jnp.tile(block, (-(-r // 256), -(-c // 256)))[:r, :c]
+        if len(shape) == 3:
+            t = jnp.broadcast_to(t[None], shape) + 0  # materialize
         scale_shape = (shape[0], shape[-1]) if len(shape) == 3 else shape[-1:]
         return {
-            "w_q": jnp.asarray(rng.integers(-127, 127, shape, dtype=np.int8)),
+            "w_q": t,
             "scale": jnp.full(scale_shape, 2e-4, jnp.float32),
         }
 
@@ -144,7 +152,7 @@ def _fast_quantized_llm(cfg, rng: "np.random.Generator",
 
     return {
         "embed": {
-            "w_q": jnp.asarray(rng.integers(-127, 127, (v, d), dtype=np.int8)),
+            "w_q": q((v, d))["w_q"],
             "row_scale": jnp.full((v,), 2e-4, jnp.float32),
         },
         "layers": {
@@ -188,9 +196,7 @@ def _build_denoise(depth: int, image: int, dtype_name: str):
     params = init_bagel_params(jax.random.PRNGKey(0), small, dtype=dtype)
     params.pop("vae", None)  # denoise scan never touches the VAE
     if dtype_name == "int8":
-        params["llm"] = _fast_quantized_llm(
-            llm, np.random.default_rng(0), vocab_rows=8, head_cols=8
-        )
+        params["llm"] = _fast_quantized_llm(llm, vocab_rows=8, head_cols=8)
     else:
         params["llm"] = fast_llm_params(llm, dtype, vocab_rows=8, head_cols=8)
 
@@ -332,7 +338,7 @@ def run_decode_bench(depth: int, dtype_name: str, prompt_len: int = 512,
     dtype = jnp.bfloat16 if dtype_name in ("bf16", "int8") else jnp.float32
     cfg = Qwen2Config(num_hidden_layers=depth)
     if dtype_name == "int8":
-        params = _fast_quantized_llm(cfg, np.random.default_rng(0))
+        params = _fast_quantized_llm(cfg)
     elif jax.default_backend() == "tpu":
         params = fast_llm_params(cfg, dtype)
     else:
@@ -434,6 +440,7 @@ def main():
         elapsed, detail = run_denoise_production(2, image, steps, "fp32")
         depth, dtype = 2, "fp32"
         decode_points = []
+        int8_denoise = int8_decode = None
         try:
             decode_points = [(2, run_decode_bench(2, "fp32", prompt_len=32,
                                                   new_tokens=4))]
@@ -460,6 +467,14 @@ def main():
                        timeout=1500)
             if r and "decode" in r:
                 decode_points.append((ddepth, r["decode"]))
+        # bonus: full-depth int8 (the app.py INT8 serving config) fits one
+        # 16 GB chip — a MEASURED 28-layer point, no extrapolation
+        r = _spawn("denoise", FULL_DEPTH, "int8", image, steps,
+                   args.schedule, timeout=2100)
+        int8_denoise = r.get("elapsed") if r else None
+        r = _spawn("decode", FULL_DEPTH, "int8", image, steps, args.schedule,
+                   timeout=1500)
+        int8_decode = r.get("decode") if r else None
 
     if elapsed is None:
         print(json.dumps({"metric": "bench_failed", "value": 0, "unit": "",
@@ -494,6 +509,14 @@ def main():
             **(detail or {}),
         },
     }
+    if int8_denoise is not None:
+        result["detail"]["int8_full_depth_denoise_img_per_s_measured"] = round(
+            1.0 / int8_denoise, 5
+        )
+    if int8_decode is not None:
+        result["detail"]["int8_full_depth_decode_tok_per_s_measured"] = round(
+            int8_decode, 2
+        )
     if decode_points:
         result["detail"]["vqa_decode_measured"] = [
             {"depth": d, "tok_per_s": round(r, 2)} for d, r in decode_points
