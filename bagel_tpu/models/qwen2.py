@@ -109,9 +109,23 @@ def _linear(x, p, precision=None):
     """Matmul over a weight leaf: {'w': ...[, 'b']}, a bare array, or an
     int8 weight-only dict {'w_q', 'scale'[, 'b']} (utils/quant.py) which
     dequantizes to x.dtype at use — int8 at rest, one layer live at a time
-    under the scan."""
+    under the scan. A 'w_q8' leaf (mode w8a8) instead quantizes the
+    activations per token and runs a true int8×int8→int32 dot on the MXU
+    (2× the bf16 matmul rate on v5e)."""
     if not isinstance(p, dict):
         p = {"w": p}
+    if "w_q8" in p:
+        xf = x.astype(jnp.float32)
+        xs = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-12) / 127.0
+        xq = jnp.clip(jnp.round(xf / xs), -127, 127).astype(jnp.int8)
+        acc = jax.lax.dot_general(
+            xq, p["w_q8"], (((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        out = acc.astype(jnp.float32) * xs * p["scale"]
+        if "b" in p:
+            out = out + p["b"].astype(jnp.float32)
+        return out.astype(x.dtype)
     if "w_q" in p:
         w = (
             p["w_q"].astype(jnp.float32) * p["scale"][..., None, :]

@@ -14,9 +14,13 @@ Design (pallas_guide.md):
   persists across nk steps; init at ik==0, finalize at ik==nk-1.
 - GQA without materializing repeated KV: the k/v BlockSpec index map sends
   query head h to kv head h // group_size.
-- kv blocks wholly beyond the live region [0, past+valid) are skipped with
-  pl.when (their DMA still runs — block-level index skipping can come later;
-  the engine sizes buffers to the session bucket so the tail is short).
+- kv blocks wholly beyond the live region [0, past+valid) are skipped twice
+  over: pl.when skips their MXU work, and the k/v BlockSpec index maps clamp
+  dead block indexes to the last live block — consecutive grid steps then
+  request the same block, so the pipeline elides the DMA entirely (the same
+  repeated-index trick ops/sparse_flash.py uses). Causal query blocks also
+  clamp at their own diagonal, so a bucketed cache costs only its live
+  prefix in both bandwidth and FLOPs.
 - fp32 logits/softmax on the VPU, bf16 matmuls on the MXU.
 """
 
@@ -53,6 +57,9 @@ def _flash_kernel(
     past = past_ref[b]
     valid = valid_ref[b]
     bound = past + valid  # live kv region is [0, bound)
+    if causal:
+        # last kv index any row of this q block can see is past + qpos_max
+        bound = jnp.minimum(bound, past + (iq + 1) * block_q)
     kstart = ik * block_k
 
     @pl.when(kstart < bound)
@@ -139,6 +146,18 @@ def flash_cached_attention(
         _flash_kernel, causal=causal, scale=scale,
         block_q=block_q, block_k=block_k,
     )
+
+    def kv_index(bb, hh, qq, kk, past, valid):
+        # clamp dead kv blocks (beyond the live region, and beyond the
+        # causal diagonal of this q block) to the last useful block index:
+        # repeated indexes make the pipeline skip the DMA, so padded cache
+        # tail costs no bandwidth
+        bound = past[bb] + valid[bb]
+        if causal:
+            bound = jnp.minimum(bound, past[bb] + (qq + 1) * block_q)
+        last_live = jnp.maximum(pl.cdiv(bound, block_k) - 1, 0)
+        return (bb, hh // g, jnp.minimum(kk, last_live), 0)
+
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -149,14 +168,8 @@ def flash_cached_attention(
                     (1, 1, block_q, d),
                     lambda bb, hh, qq, kk, *refs: (bb, hh, qq, 0),
                 ),
-                pl.BlockSpec(
-                    (1, 1, block_k, d),
-                    lambda bb, hh, qq, kk, *refs: (bb, hh // g, kk, 0),
-                ),
-                pl.BlockSpec(
-                    (1, 1, block_k, d),
-                    lambda bb, hh, qq, kk, *refs: (bb, hh // g, kk, 0),
-                ),
+                pl.BlockSpec((1, 1, block_k, d), kv_index),
+                pl.BlockSpec((1, 1, block_k, d), kv_index),
             ],
             out_specs=pl.BlockSpec(
                 (1, 1, block_q, d),

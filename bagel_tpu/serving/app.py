@@ -44,8 +44,10 @@ def parse_args(argv=None):
     p.add_argument("--timestep_shift", type=float, default=3.0)
     p.add_argument("--enable_taylorseer", action="store_true")
     p.add_argument("--quant", type=str, default=None,
-                   choices=[None, "int8", "int4", "nf4"],
-                   help="weight-only LLM quantization: int8 per-column, "
+                   choices=[None, "int8", "w8a8", "int4", "nf4"],
+                   help="LLM quantization: int8 per-column weight-only, "
+                        "w8a8 int8 weights + dynamic int8 activations "
+                        "(int8 MXU dots, ~1.5x matmul throughput), "
                         "int4/nf4 per-group 4-bit (bnb NF4/INT8 parity, "
                         "app.py:114-131)")
     p.add_argument("--seed", type=int, default=42)

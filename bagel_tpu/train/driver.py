@@ -385,7 +385,22 @@ def main(argv=None):
                 noise = jax.random.normal(
                     r2, bb.vae_patches.shape, jnp.float32
                 )
-                g, metrics = grad_step(state.params, bb, noise)
+                try:
+                    g, metrics = grad_step(state.params, bb, noise)
+                except jax.errors.JaxRuntimeError as e:
+                    # HBM-OOM parity with the reference's CUDA-OOM handler
+                    # (pretrain_unified_navit.py:688-693): log the shapes
+                    # that blew the budget, then re-raise (fatal — restart
+                    # resumes from the last checkpoint via --auto_resume)
+                    if "RESOURCE_EXHAUSTED" in str(e):
+                        logger.error(
+                            "device OOM at step %d: packed tokens=%s "
+                            "vae_patches=%s dp=%d accum=%d",
+                            step, bb.position_ids.shape,
+                            bb.vae_patches.shape, dp,
+                            args.gradient_accumulation_steps,
+                        )
+                    raise
                 grads_acc = g if grads_acc is None else jax.tree.map(
                     jnp.add, grads_acc, g
                 )

@@ -125,6 +125,68 @@ def test_stacked_int4_quant():
     assert float(jnp.abs(deq - w).max()) < 0.035
 
 
+def test_w8a8_linear_accuracy():
+    """int8×int8 dot with dynamic activation quant tracks the fp32 matmul."""
+    from bagel_tpu.models.qwen2 import _linear
+
+    rng = np.random.default_rng(2)
+    w = jnp.asarray(rng.standard_normal((256, 128)) * 0.03, jnp.float32)
+    x = jnp.asarray(rng.standard_normal((8, 256)), jnp.float32)
+    q = quantize_weight(w)
+    leaf = {"w_q8": q["w_q"], "scale": q["scale"],
+            "b": jnp.asarray(rng.standard_normal(128) * 0.01, jnp.float32)}
+    got = _linear(x, leaf)
+    want = x @ w + leaf["b"]
+    rel = float(jnp.abs(got - want).mean() / jnp.abs(want).mean())
+    assert rel < 0.02, rel  # two int8 quantizations: ~1% relative error
+
+
+def test_w8a8_llm_outputs_close():
+    cfg = tiny_qwen2(layer_module="mot")
+    params = init_qwen2_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    qparams = quantize_llm_params(params, "w8a8")
+    leaf = qparams["layers"]["attn"]["q"]
+    assert "w_q8" in leaf and leaf["w_q8"].dtype == jnp.int8
+    # embedding / lm_head stay weight-only
+    assert "w_q" in qparams["lm_head"]
+
+    T = 12
+    ids = jax.random.randint(jax.random.PRNGKey(1), (1, T), 0, cfg.vocab_size)
+    pos = jnp.arange(T)[None]
+    cache = kv_cache_init(cfg, 1, 32, jnp.float32)
+    ref, _ = llm_extend(
+        params, cfg, embed_tokens(params, ids), pos, cache, jnp.asarray([T]),
+        und_len=T, causal=True, update_cache=False, precision="float32",
+    )
+    got, _ = llm_extend(
+        qparams, cfg, embed_tokens(qparams, ids).astype(jnp.float32), pos,
+        cache, jnp.asarray([T]),
+        und_len=T, causal=True, update_cache=False, precision="float32",
+    )
+    err = float(jnp.abs(got - ref).mean() / jnp.abs(ref).mean())
+    assert err < 0.08, err
+
+
+def test_w8a8_engine_runs():
+    import jax
+
+    from bagel_tpu.configs import tiny_bagel
+    from bagel_tpu.data.tokenizer import MockTokenizer
+    from bagel_tpu.inference.engine import BagelEngine
+    from bagel_tpu.models.bagel import init_bagel_params
+    from bagel_tpu.utils.quant import quantize_bagel_params
+
+    cfg = tiny_bagel()
+    tok = MockTokenizer(cfg.llm.vocab_size)
+    params = init_bagel_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    qparams = quantize_bagel_params(params, "w8a8")
+    eng = BagelEngine(qparams, cfg, tok, tok.new_token_ids, max_kv=512)
+    out = eng(text="a cat", image_shapes=(32, 32), num_timesteps=4,
+              cfg_text_scale=2.0, rng=jax.random.PRNGKey(1))
+    assert out["image"].shape == (32, 32, 3)
+    assert np.isfinite(out["image"].astype(np.float32)).all()
+
+
 def test_quantize_llm_params_int4_engine_runs():
     """End-to-end: int4-quantized tiny engine still generates."""
     import jax
