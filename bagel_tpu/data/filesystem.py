@@ -48,14 +48,33 @@ def list_dir(directory: str) -> List[str]:
     return [os.path.join(directory, name) for name in os.listdir(directory)]
 
 
+def split_hdfs_uri(path: str):
+    """hdfs://[authority]/p/q -> (host, port, "/p/q").
+
+    The authority in the URI wins; otherwise BAGEL_HDFS_HOST; otherwise
+    "default" (the cluster's fs.defaultFS from HADOOP_CONF_DIR). The
+    returned path is absolute — passing the authority along as a relative
+    path would resolve against the HDFS home directory and open the wrong
+    (usually nonexistent) file.
+    """
+    from urllib.parse import urlparse
+
+    u = urlparse(path)
+    host = u.hostname or os.environ.get("BAGEL_HDFS_HOST", "default")
+    if host.startswith("hdfs://"):  # allow BAGEL_HDFS_HOST=hdfs://namenode
+        host = urlparse(host).hostname or "default"
+    return host, u.port or 0, u.path or "/"
+
+
 def arrow_fs(path: str):
     """pyarrow filesystem for `path` (HadoopFileSystem for hdfs://)."""
     import pyarrow.fs as pf
 
     if is_hdfs(path):
+        host, port, _ = split_hdfs_uri(path)
         return pf.HadoopFileSystem(
-            host=os.environ.get("BAGEL_HDFS_HOST", "default"),
-            port=0,
+            host=host,
+            port=port,
             buffer_size=int(
                 os.environ.get("BAGEL_HDFS_BLOCK_SIZE", 134217728)
             ),
@@ -69,7 +88,8 @@ def open_parquet(path: str):
 
     if is_hdfs(path):
         fs = arrow_fs(path)
-        return pq.ParquetFile(fs.open_input_file(path.removeprefix("hdfs://")))
+        _, _, fpath = split_hdfs_uri(path)
+        return pq.ParquetFile(fs.open_input_file(fpath))
     return pq.ParquetFile(path)
 
 

@@ -69,6 +69,10 @@ class PrefetchLoader:
         self._stop.set()
 
 
+class _WorkerDone:
+    """Queue sentinel: a worker's iterator is exhausted (or it failed)."""
+
+
 def _mp_worker_main(factory, worker_id: int, num_workers: int, q, stop_evt):
     """Subprocess entry: run one packer shard, push numpy HostBatches.
 
@@ -82,7 +86,17 @@ def _mp_worker_main(factory, worker_id: int, num_workers: int, q, stop_evt):
                 return
             q.put(host)
     except Exception as e:  # surface in the consumer
-        q.put(e)
+        try:
+            q.put(e)
+        except Exception:  # the exception itself may be unpicklable
+            q.put(RuntimeError(
+                f"packing worker {worker_id} failed: {type(e).__name__}: {e}"
+            ))
+    finally:
+        try:
+            q.put(_WorkerDone())
+        except Exception:
+            pass
 
 
 class MultiprocessLoader:
@@ -121,6 +135,7 @@ class MultiprocessLoader:
         self.rng = rng
         self.queue = ctx.Queue(maxsize=prefetch_per_worker * num_workers)
         self._stop = ctx.Event()
+        self._done = 0  # workers that have enqueued their _WorkerDone
         self.procs = [
             ctx.Process(
                 target=_mp_worker_main,
@@ -136,9 +151,32 @@ class MultiprocessLoader:
         return self
 
     def __next__(self):
-        item = self.queue.get()
-        if isinstance(item, Exception):
-            raise item
+        import queue as queue_mod
+
+        while True:
+            try:
+                item = self.queue.get(timeout=5.0)
+            except queue_mod.Empty:
+                # distinguish "still packing" from "nobody left to produce":
+                # a worker killed by the OOM-killer or a segfault in native
+                # code never enqueues its sentinel — without this check the
+                # training loop would block on get() forever
+                if not any(p.is_alive() for p in self.procs):
+                    if self._done >= len(self.procs):
+                        raise StopIteration
+                    raise RuntimeError(
+                        "all packing workers died without finishing "
+                        "(killed or crashed); check worker memory use"
+                    )
+                continue
+            if isinstance(item, _WorkerDone):
+                self._done += 1
+                if self._done >= len(self.procs):
+                    raise StopIteration
+                continue
+            if isinstance(item, Exception):
+                raise item
+            break
         self.rng, sub = jax.random.split(self.rng)
         if self.cfg.visual_gen and item.vae_images:
             batch = encode_vae_images(self.vae_params, self.cfg, item, sub)

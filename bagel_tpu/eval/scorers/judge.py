@@ -160,7 +160,16 @@ def run_judge(
                 except Exception:
                     continue
             if record is None:
-                record = {"id": item["id"], **item.get("meta", {}), "judge_failed": True}
+                # shape the failure like a success with sentinel scores
+                # (extract("") yields all-JUDGE_FAILURE fields) so the
+                # summarizers aggregate it — the sentinel poisons its
+                # category per the reference — instead of KeyError-ing
+                try:
+                    sentinel = extract("")
+                except Exception:
+                    sentinel = {}
+                record = {"id": item["id"], **item.get("meta", {}),
+                          **sentinel, "judge_failed": True}
             results.append(record)
             if fout:
                 fout.write(json.dumps(record) + "\n")

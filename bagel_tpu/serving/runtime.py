@@ -77,6 +77,10 @@ class Future:
         return self._result
 
 
+class _Defer(Exception):
+    """Admission must wait for capacity (live sessions too near max_kv)."""
+
+
 @dataclasses.dataclass
 class _ChatRequest:
     prompt: str
@@ -177,6 +181,14 @@ class ServingRuntime:
     def _free_rows(self) -> List[int]:
         return [i for i, s in enumerate(self.slot_state) if s is None]
 
+    def _retire(self, i: int):
+        """Free a slot AND zero its cache length — a stale length would
+        count against capacity checks and shift the next admit's writes."""
+        self.slot_state[i] = None
+        self.cache = dataclasses.replace(
+            self.cache, length=self.cache.length.at[i].set(0)
+        )
+
     def _admit(self):
         """Move queued chat requests into free slots (one batched prefill)."""
         rows, reqs = [], []
@@ -192,6 +204,11 @@ class ServingRuntime:
             return
         try:
             self._prefill_rows(rows, reqs)
+        except _Defer:
+            # a live session is too close to max_kv for the padded prefill
+            # block: requeue and admit once it retires
+            for req in reqs:
+                self.chat_q.put(req)
         except Exception as e:  # bad request must not kill the scheduler
             for r, req in zip(rows, reqs):
                 self.slot_state[r] = None
@@ -201,6 +218,37 @@ class ServingRuntime:
         eng = self.engine
         cfg = eng.cfg
         b = self.slots
+
+        # capacity pre-check BEFORE touching the cache: llm_extend writes its
+        # padded tb-block into EVERY row at that row's current length (only
+        # the length advance is gated by q_valid), and dynamic_update_slice
+        # clamps out-of-range starts — which would silently overwrite a live
+        # session's KV tail. Reject oversized requests; defer admission while
+        # any live row is too close to the buffer end.
+        patch = cfg.vit.patch_size if cfg.vit is not None else 16
+        tbs = []
+        for req in reqs:
+            if req.image is not None:
+                img = eng._crop_to_multiple(req.image, patch)
+                n = (img.shape[0] // patch) * (img.shape[1] // patch)
+                tbs.append(_bucket(n + 2))
+            ids_len = len(eng.tokenizer.encode(req.prompt)) + 2
+            tbs.append(_bucket(ids_len))
+        tb_need = max(tbs)
+        if tb_need > eng.max_kv:
+            raise ValueError(
+                f"request needs a {tb_need}-token prefill block but the KV "
+                f"buffer holds {eng.max_kv}; raise max_kv"
+            )
+        lengths = np.asarray(self.cache.length)
+        live_max = max(
+            (int(lengths[i]) for i, s in enumerate(self.slot_state)
+             if s is not None and i not in rows),
+            default=0,
+        )
+        if live_max + tb_need > eng.max_kv:
+            raise _Defer()
+
         # reset the admitted rows' cache lengths (their KV rows are dead)
         length = self.cache.length
         for i in rows:
@@ -287,6 +335,16 @@ class ServingRuntime:
         eng = self.engine
         b = self.slots
         eos = eng.new_token_ids["eos_token_id"]
+        # sessions whose next chunk could overflow their KV rows finish now
+        # with what they have (instead of asserting and killing the
+        # scheduler thread); dynamic_update_slice would clamp and corrupt
+        lengths = np.asarray(self.cache.length)
+        for i, s in enumerate(self.slot_state):
+            if s is not None and int(lengths[i]) + self.decode_chunk > eng.max_kv:
+                s.req.future.set_result(eng.tokenizer.decode(s.produced))
+                self._retire(i)
+                self.stats["chat_done"] += 1
+
         start = np.full(b, eos, np.int32)
         pos = np.zeros(b, np.int32)
         active = np.zeros(b, bool)
@@ -295,9 +353,6 @@ class ServingRuntime:
                 start[i], pos[i], active[i] = s.next_token, s.next_pos, True
         if not active.any():
             return
-        # capacity: a chunk appends at most decode_chunk tokens per row
-        assert int(np.asarray(self.cache.length).max()) + self.decode_chunk \
-            <= eng.max_kv, "KV buffer exhausted; raise max_kv or retire slots"
         toks, self.cache = _decode_chunk_jit(
             eng.params, eng.cfg, self.cache, jnp.asarray(start),
             jnp.asarray(pos), jnp.asarray(active),
@@ -316,7 +371,7 @@ class ServingRuntime:
             self.stats["tokens_out"] += len(new[:budget])
             if hit_eos or len(s.produced) >= s.req.max_new_tokens:
                 s.req.future.set_result(eng.tokenizer.decode(s.produced))
-                self.slot_state[i] = None
+                self._retire(i)
                 self.stats["chat_done"] += 1
             else:
                 s.next_token = new[-1]
@@ -338,7 +393,15 @@ class ServingRuntime:
             self._admit()
             busy = any(s is not None for s in self.slot_state)
             if busy:
-                self._decode_step()
+                try:
+                    self._decode_step()
+                except Exception as e:
+                    # fail the affected sessions, keep the scheduler alive —
+                    # a hung daemon thread would strand every future forever
+                    for i, s in enumerate(self.slot_state):
+                        if s is not None:
+                            s.req.future.set_error(e)
+                            self._retire(i)
             # fair interleave: at most one gen job between decode chunks
             if not self.gen_q.empty():
                 self._run_one_gen()

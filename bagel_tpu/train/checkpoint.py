@@ -55,29 +55,15 @@ def gather_data_status(data_status: dict) -> dict:
     checkpoint records every host's iterator state (the reference gathers
     rank dicts with gather_object, pretrain_unified_navit.py:789-808).
 
-    Returns {process_index: data_status}. Dicts are JSON-serialized into
-    padded uint8 buffers and exchanged with process_allgather — JAX has no
-    object gather."""
-    nproc = jax.process_count()
-    if nproc == 1:
+    Returns {process_index: data_status}. The padded-buffer JSON exchange
+    lives in data.filesystem.allgather_object (one object-gather protocol
+    for the whole codebase)."""
+    if jax.process_count() == 1:
         return {0: data_status}
-    import numpy as np
-    from jax.experimental import multihost_utils
+    from bagel_tpu.data.filesystem import allgather_object
 
-    payload = np.frombuffer(
-        json.dumps(_jsonify(data_status)).encode(), np.uint8
-    )
-    lens = multihost_utils.process_allgather(
-        np.asarray(len(payload), np.int32)
-    )
-    buf = np.zeros(int(lens.max()), np.uint8)
-    buf[: len(payload)] = payload
-    bufs = multihost_utils.process_allgather(buf)
-    out = {}
-    for r in range(nproc):
-        raw = bytes(np.asarray(bufs[r][: int(lens[r])]))
-        out[r] = _dejsonify(json.loads(raw.decode()))
-    return out
+    shards = allgather_object(_jsonify(data_status))
+    return {r: _dejsonify(s) for r, s in enumerate(shards)}
 
 
 def data_status_for_process(saved: Optional[dict], rank: int) -> dict:

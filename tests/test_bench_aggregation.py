@@ -101,3 +101,21 @@ def test_all_denoise_failed_reports_bench_failed(monkeypatch, capsys):
     res = run_main_with_fake_spawn(monkeypatch, capsys, {})
     assert res["metric"] == "bench_failed"
     assert res["value"] == 0
+
+
+def test_bf16_failed_but_quant_measured_is_headline(monkeypatch, capsys):
+    """bf16 depth-reduced children timing out must not discard a valid
+    measured full-depth quantized number (NOTES: bf16 attempts can time
+    out on this host)."""
+    res = run_main_with_fake_spawn(
+        monkeypatch, capsys,
+        {
+            ("denoise", 28, "w8a8"): {"elapsed": 27.38},
+            ("denoise", 28, "int8"): {"elapsed": 33.3},
+            ("decode", 28, "w8a8"): {"decode": 95.4},
+        },
+    )
+    assert res["metric"].endswith("denoise_throughput")
+    assert res["value"] == round(1.0 / 27.38, 5)
+    assert "w8a8 full-depth measured" in res["detail"]["headline_basis"]
+    assert "bf16_extrapolated_img_per_s" not in res["detail"]

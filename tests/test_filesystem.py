@@ -46,6 +46,27 @@ def test_hdfs_ls_parses_cli_output(monkeypatch):
     ]
 
 
+def test_split_hdfs_uri():
+    from bagel_tpu.data.filesystem import split_hdfs_uri
+
+    # authority in the URI wins; path must come back absolute — a relative
+    # 'nn:9000/data/x.parquet' would resolve against the HDFS home dir
+    host, port, path = split_hdfs_uri("hdfs://namenode:9000/data/x.parquet")
+    assert (host, port, path) == ("namenode", 9000, "/data/x.parquet")
+
+    host, port, path = split_hdfs_uri("hdfs:///data/x.parquet")
+    assert host == "default" and port == 0 and path == "/data/x.parquet"
+
+    import os
+
+    os.environ["BAGEL_HDFS_HOST"] = "hdfs://nn2"
+    try:
+        host, port, path = split_hdfs_uri("hdfs:///d/y.parquet")
+        assert host == "nn2" and path == "/d/y.parquet"
+    finally:
+        del os.environ["BAGEL_HDFS_HOST"]
+
+
 def test_get_parquet_data_paths_repeat_and_shard(tmp_path, monkeypatch):
     import pyarrow as pa
     import pyarrow.parquet as pq

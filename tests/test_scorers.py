@@ -310,6 +310,33 @@ def test_run_judge_resumable(tmp_path):
     assert len(res2) == 3 and len(calls) == 3
 
 
+def test_run_judge_failure_records_aggregate(tmp_path):
+    """Items whose judge fails on every retry must yield sentinel-scored
+    records that the summarizers can still aggregate (the 9.9 sentinel
+    poisons the category), not bare records that KeyError downstream."""
+    from bagel_tpu.eval.scorers.judge import (
+        JUDGE_FAILURE,
+        extract_wise_scores,
+        run_judge,
+        wise_summarize,
+    )
+
+    items = [{"id": 0, "meta": {"category": "x"}},
+             {"id": 1, "meta": {"category": "x"}}]
+
+    def judge(prompt, images):
+        if "0" in prompt:
+            raise RuntimeError("api down")
+        return "Consistency: 2\nRealism: 2\nAesthetic Quality: 2"
+
+    res = run_judge(items, lambda it: f"judge {it['id']}", judge,
+                    extract_wise_scores, max_retries=1)
+    failed = next(r for r in res if r.get("judge_failed"))
+    assert failed["consistency"] == JUDGE_FAILURE
+    summary = wise_summarize(res, category_of=lambda r: r["category"])
+    assert summary["categories"]["x"] is None  # sentinel poisons it
+
+
 def test_gen_scorer_layout_end_to_end(tmp_path):
     """GenEval layout dir + precomputed detections -> published table."""
     import json

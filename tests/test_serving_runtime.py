@@ -77,6 +77,47 @@ def test_runtime_mixed_und_gen(engine):
     assert rt.stats["gen_done"] == 1
 
 
+def test_runtime_kv_exhaustion_finishes_session(engine):
+    """A session whose next chunk would overflow max_kv must be finished
+    with what it has (and its slot's length reset) — not kill the scheduler
+    thread with an assert, which would hang every future forever."""
+    # tiny KV budget: prompt prefill bucket + a chunk or two fills it
+    small = BagelEngine(engine.params, engine.cfg, engine.tokenizer,
+                        engine.new_token_ids, max_kv=64)
+    rt = ServingRuntime(small, slots=2, decode_chunk=16,
+                        max_new_default=10_000)
+    rt.start()
+    try:
+        # huge budget so only KV capacity can end the session
+        f1 = rt.submit_chat("fill the buffer please")
+        ans = f1.result(timeout=600)
+        assert isinstance(ans, str)
+        # the scheduler must still be alive and serve a fresh request
+        # (its slot's stale length must not trip capacity checks either)
+        f2 = rt.submit_chat("second request")
+        assert isinstance(f2.result(timeout=600), str)
+    finally:
+        rt.stop()
+    assert rt.stats["chat_done"] == 2
+
+
+def test_runtime_oversized_request_fails_cleanly(engine):
+    """A request whose prefill block alone exceeds max_kv is rejected with
+    an error on ITS future; it must not corrupt or stall others."""
+    small = BagelEngine(engine.params, engine.cfg, engine.tokenizer,
+                        engine.new_token_ids, max_kv=32)
+    rt = ServingRuntime(small, slots=1, decode_chunk=2, max_new_default=4)
+    rt.start()
+    try:
+        bad = rt.submit_chat("x" * 500)  # way past the 32-token buffer
+        with pytest.raises(ValueError):
+            bad.result(timeout=600)
+        ok = rt.submit_chat("hi")
+        assert isinstance(ok.result(timeout=600), str)
+    finally:
+        rt.stop()
+
+
 def test_runtime_stop_fails_pending(engine):
     rt = ServingRuntime(engine, slots=1, decode_chunk=2, max_new_default=4)
     # never started: queued request must be failed by stop(), not hang
