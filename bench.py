@@ -374,6 +374,71 @@ def run_decode_bench(depth: int, dtype_name: str, prompt_len: int = 512,
 
 
 # ---------------------------------------------------------------------------
+# Training step benchmark (fwd+bwd)
+# ---------------------------------------------------------------------------
+
+
+def run_train_bench(depth: int, dtype_name: str, image: int = 1024,
+                    n_text: int = 128):
+    """Packed t2i train forward+backward at full width / reduced depth:
+    [causal text | tiny vit | noise-vae 1024px] — the reference toy-finetune
+    shape (TRAIN.md:85-91, the only train-side perf row in SURVEY §6).
+
+    Measures value_and_grad only: the AdamW moment buffers of a full-width
+    stack don't fit one 16 GB chip (real training shards them over fsdp),
+    and the elementwise update is bandwidth-trivial next to fwd+bwd.
+    Returns (seconds_per_step, tokens_per_step)."""
+    import dataclasses as dc
+
+    import jax
+    import jax.numpy as jnp
+
+    from bagel_tpu.configs import BagelConfig, Qwen2Config, SiglipConfig, VAEConfig
+    from bagel_tpu.data.packing import make_synthetic_batch, stack_batches
+    from bagel_tpu.models.bagel import init_bagel_params
+    from bagel_tpu.train.step import compute_losses
+
+    dtype = jnp.bfloat16 if dtype_name in ("bf16", "int8", "w8a8") else jnp.float32
+    llm = Qwen2Config(num_hidden_layers=depth)
+    cfg = BagelConfig(
+        llm=llm, vit=SiglipConfig(num_hidden_layers=2), vae=VAEConfig(),
+        max_latent_size=64, timestep_shift=3.0,
+    )
+    small = dc.replace(cfg, llm=dc.replace(llm, num_hidden_layers=1))
+    params = init_bagel_params(jax.random.PRNGKey(0), small, dtype=dtype)
+    params.pop("vae", None)  # synthetic batch carries pre-filled latents
+    params["llm"] = fast_llm_params(llm, dtype)
+
+    n_vae = (image // cfg.latent_downsample) ** 2
+    n_vit = 4  # 28x28 px at patch 14
+    seq = -(-(n_text + n_vit + n_vae + 1) // 256) * 256
+    rng = np.random.default_rng(0)
+    batch = stack_batches([
+        make_synthetic_batch(cfg, rng, seq_len=seq, n_text=n_text,
+                             vit_hw=(28, 28), vae_hw=(image, image))
+    ])
+    noise_shape = (1, batch.vae_patches.shape[1], batch.vae_patches.shape[2])
+
+    def loss_fn(params, batch, noise):
+        loss, _ = compute_losses(params, cfg, batch, noise)
+        return loss
+
+    grad_step = jax.jit(jax.grad(loss_fn))
+    noise = jnp.asarray(rng.standard_normal(noise_shape), jnp.float32)
+
+    def norm_of(g):
+        return jax.tree.reduce(
+            lambda a, x: a + jnp.sum(jnp.square(x.astype(jnp.float32))),
+            g, jnp.float32(0),
+        )
+
+    np.asarray(norm_of(grad_step(params, batch, noise)))  # compile + warmup
+    t0 = time.perf_counter()
+    np.asarray(norm_of(grad_step(params, batch, noise)))
+    return time.perf_counter() - t0, int(batch.position_ids.shape[1])
+
+
+# ---------------------------------------------------------------------------
 # Driver
 # ---------------------------------------------------------------------------
 
@@ -384,6 +449,10 @@ def _child_main(args):
     if args.mode == "decode":
         tok_s = run_decode_bench(args.depth, args.dtype)
         print(f"DECODE {tok_s}")
+        return
+    if args.mode == "train":
+        step_s, tokens = run_train_bench(args.depth, args.dtype)
+        print(f"TRAIN {step_s} {tokens}")
         return
     fn = run_denoise_naive if args.schedule == "naive" else run_denoise_production
     elapsed, detail = fn(args.depth, args.image, args.steps, args.dtype)
@@ -409,6 +478,9 @@ def _spawn(mode, depth, dtype, image, steps, schedule, timeout):
             out["elapsed"] = float(line.split()[1])
         elif line.startswith("DECODE "):
             out["decode"] = float(line.split()[1])
+        elif line.startswith("TRAIN "):
+            out["train_s"] = float(line.split()[1])
+            out["train_tokens"] = int(line.split()[2])
         elif line.startswith("DETAIL "):
             out["detail"] = json.loads(line[len("DETAIL "):])
     if not out:
@@ -423,7 +495,8 @@ def main():
     ap.add_argument("--preset", default="auto", choices=["auto", "tiny", "full"])
     ap.add_argument("--steps", type=int, default=None)
     ap.add_argument("--image", type=int, default=None)
-    ap.add_argument("--mode", default=None, choices=[None, "denoise", "decode"],
+    ap.add_argument("--mode", default=None,
+                    choices=[None, "denoise", "decode", "train"],
                     help="internal: child runs one attempt and prints raw numbers")
     ap.add_argument("--depth", type=int, default=None)
     ap.add_argument("--dtype", type=str, default="bf16",
@@ -447,6 +520,7 @@ def main():
         decode_points = []
         int8_denoise = int8_decode = None
         quant_denoise, quant_decode = {}, {}
+        train_point = None
         try:
             decode_points = [(2, run_decode_bench(2, "fp32", prompt_len=32,
                                                   new_tokens=4))]
@@ -488,6 +562,15 @@ def main():
                 quant_decode[qmode] = r["decode"]
         int8_denoise = quant_denoise.get("int8")
         int8_decode = quant_decode.get("int8")
+        # train fwd+bwd (SURVEY §6's only train-side perf row): full width,
+        # deepest depth whose params+grads fit the 16 GB chip in bf16
+        train_point = None
+        for tdepth in (8, 4):
+            r = _spawn("train", tdepth, "bf16", image, steps, args.schedule,
+                       timeout=2100)
+            if r and "train_s" in r:
+                train_point = (tdepth, r["train_s"], r["train_tokens"])
+                break
 
     if elapsed is None and not quant_denoise:
         print(json.dumps({"metric": "bench_failed", "value": 0, "unit": "",
@@ -554,6 +637,19 @@ def main():
         result["detail"][f"{qmode}_full_depth_decode_tok_per_s_measured"] = (
             round(qtok, 2)
         )
+    if train_point is not None:
+        tdepth, tsec, ttok = train_point
+        result["detail"]["train_fwd_bwd"] = {
+            "depth": tdepth,
+            "seq_tokens": ttok,
+            "step_s": round(tsec, 3),
+            "tokens_per_s": round(ttok / tsec, 1),
+            "note": (
+                "packed t2i fwd+bwd (1024px noise-vae + text CE), bf16 full "
+                "width; optimizer update excluded (moments shard over fsdp "
+                "in real runs)"
+            ),
+        }
     if decode_points:
         result["detail"]["vqa_decode_measured"] = [
             {"depth": d, "tok_per_s": round(r, 2)} for d, r in decode_points

@@ -47,8 +47,13 @@ def test_headline_prefers_measured_quant_when_faster(monkeypatch, capsys):
             ("decode", 4, "bf16"): {"decode": 235.8},
             ("decode", 28, "w8a8"): {"decode": 95.4},
             ("decode", 28, "int8"): {"decode": 95.6},
+            # depth-8 train child OOMs (no result) -> depth-4 fallback
+            ("train", 4, "bf16"): {"train_s": 0.795, "train_tokens": 4352},
         },
     )
+    tr = res["detail"]["train_fwd_bwd"]
+    assert tr["depth"] == 4 and tr["step_s"] == 0.795
+    assert tr["tokens_per_s"] == round(4352 / 0.795, 1)
     # bf16 extrapolated = 1/(9.71*28/8) = 0.0294 < measured w8a8 1/27.38
     assert res["value"] == round(1.0 / 27.38, 5)
     assert "w8a8 full-depth measured" in res["detail"]["headline_basis"]
