@@ -563,9 +563,11 @@ def main():
         int8_denoise = quant_denoise.get("int8")
         int8_decode = quant_decode.get("int8")
         # train fwd+bwd (SURVEY §6's only train-side perf row): full width,
-        # deepest depth whose params+grads fit the 16 GB chip in bf16
+        # depth 4 — the deepest whose params+grads fit the 16 GB chip in
+        # bf16 (depth 8 measured RESOURCE_EXHAUSTED; real runs shard
+        # params/grads/moments over fsdp)
         train_point = None
-        for tdepth in (8, 4):
+        for tdepth in (4,):
             r = _spawn("train", tdepth, "bf16", image, steps, args.schedule,
                        timeout=2100)
             if r and "train_s" in r:
