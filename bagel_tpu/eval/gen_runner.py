@@ -43,6 +43,10 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--max_kv", type=int, default=8192)
     p.add_argument("--max_latent_size", type=int, default=64)
+    p.add_argument("--quant", type=str, default=None,
+                   choices=[None, "int8", "w8a8", "int4", "nf4"],
+                   help="serve the eval model quantized (serving/app.py "
+                        "--quant semantics)")
     args = p.parse_args(argv)
 
     import jax
