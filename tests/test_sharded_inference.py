@@ -44,6 +44,30 @@ def test_sharded_inference_matches_unsharded():
     assert diff.mean() < 2.0, diff.mean()
 
 
+def test_sharded_w8a8_inference_runs():
+    """Quantized serving over the mesh: int8 MXU dots must compose with
+    GSPMD sharding (the v5e-8 --quant w8a8 --mesh 1,8,1 config)."""
+    from bagel_tpu.utils.quant import quantize_bagel_params
+
+    cfg = micro_bagel()
+    tok = MockTokenizer(cfg.llm.vocab_size)
+    params = init_bagel_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    qparams = quantize_bagel_params(params, "w8a8")
+
+    kwargs = dict(
+        text="hello world", image_shapes=(16, 16), num_timesteps=3,
+        cfg_text_scale=2.0, cfg_img_scale=1.0, timestep_shift=1.0,
+        rng=jax.random.PRNGKey(3),
+    )
+    plain = _engine(qparams, cfg, tok)(**kwargs)["image"]
+    mesh = make_mesh((1, 2, 4))
+    with mesh:
+        sq = shard_params(mesh, qparams)
+        sharded = _engine(sq, cfg, tok)(**kwargs)["image"]
+    diff = np.abs(plain.astype(np.int32) - sharded.astype(np.int32))
+    assert diff.mean() < 2.0, diff.mean()
+
+
 def test_sharded_understanding():
     cfg = micro_bagel()
     tok = MockTokenizer(cfg.llm.vocab_size)
