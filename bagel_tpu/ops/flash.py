@@ -27,6 +27,7 @@ Design (pallas_guide.md):
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -34,6 +35,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
+
+# default tile sizes; override per-run for sweeps without touching callers
+# (engine/serving pass no explicit blocks)
+DEFAULT_BLOCK_Q = int(os.environ.get("BAGEL_FLASH_BLOCK_Q", 256))
+DEFAULT_BLOCK_K = int(os.environ.get("BAGEL_FLASH_BLOCK_K", 256))
 
 
 def _flash_kernel(
@@ -119,8 +125,8 @@ def flash_cached_attention(
     *,
     causal: bool,
     scale: float | None = None,
-    block_q: int = 256,
-    block_k: int = 256,
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
     interpret: bool = False,
 ) -> jax.Array:
     """Flash attention over (cache ++ new block). Returns [B, T, H, D].
@@ -133,6 +139,10 @@ def flash_cached_attention(
     g = h // kh
     block_q = min(block_q, t)
     block_k = min(block_k, s)
+    while t % block_q:  # swept sizes fall back to the largest divisor
+        block_q //= 2
+    while s % block_k:
+        block_k //= 2
     assert t % block_q == 0 and s % block_k == 0, (t, s, block_q, block_k)
     if scale is None:
         scale = d**-0.5
