@@ -36,10 +36,23 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
 
-# default tile sizes; override per-run for sweeps without touching callers
-# (engine/serving pass no explicit blocks)
+# Tile sizes. Swept on a real v5e: at the 1024px denoise operating point
+# (w8a8 full depth, t=4354, s=4608) block_k 256 -> 27.4 s/img, 512 -> 20.5,
+# 1536 -> 16.5, 4608 -> 16.4 — a 1.66x total win from larger k tiles. But
+# at small query extents (t=512, s=4096) the same large tiles measure ~2x
+# SLOWER than 256. Default is therefore adaptive: large k tiles only when
+# the query block is large (the gen/denoise path), 256 otherwise.
+# BAGEL_FLASH_BLOCK_Q/K env vars force a fixed size for sweeps.
 DEFAULT_BLOCK_Q = int(os.environ.get("BAGEL_FLASH_BLOCK_Q", 256))
-DEFAULT_BLOCK_K = int(os.environ.get("BAGEL_FLASH_BLOCK_K", 256))
+_ENV_BLOCK_K = os.environ.get("BAGEL_FLASH_BLOCK_K")
+LARGE_BLOCK_K = 1536
+LARGE_T_THRESHOLD = 2048
+
+
+def _default_block_k(t: int) -> int:
+    if _ENV_BLOCK_K is not None:
+        return int(_ENV_BLOCK_K)
+    return LARGE_BLOCK_K if t >= LARGE_T_THRESHOLD else 256
 
 
 def _flash_kernel(
@@ -126,7 +139,7 @@ def flash_cached_attention(
     causal: bool,
     scale: float | None = None,
     block_q: int = DEFAULT_BLOCK_Q,
-    block_k: int = DEFAULT_BLOCK_K,
+    block_k: int | None = None,
     interpret: bool = False,
 ) -> jax.Array:
     """Flash attention over (cache ++ new block). Returns [B, T, H, D].
@@ -137,12 +150,21 @@ def flash_cached_attention(
     b, t, h, d = q.shape
     _, s, kh, _ = k.shape
     g = h // kh
-    block_q = min(block_q, t)
-    block_k = min(block_k, s)
-    while t % block_q:  # swept sizes fall back to the largest divisor
-        block_q //= 2
-    while s % block_k:
-        block_k //= 2
+    if block_k is None:
+        block_k = _default_block_k(t)
+
+    def fit_block(n, want, step=256):
+        """Largest divisor of n that is ≤ want and a multiple of `step`
+        (engine buckets are 256-multiples); n itself when n is smaller or
+        has no such divisor (tiny test shapes run one block)."""
+        bsz = min(want, n)
+        bsz -= bsz % step if bsz > step else 0
+        while bsz > step and n % bsz:
+            bsz -= step
+        return bsz if bsz >= 1 and n % bsz == 0 else n
+
+    block_q = fit_block(t, block_q)
+    block_k = fit_block(s, block_k)
     assert t % block_q == 0 and s % block_k == 0, (t, s, block_q, block_k)
     if scale is None:
         scale = d**-0.5
