@@ -6,7 +6,7 @@ generation (CFG rectified-flow over FLUX-VAE latents), image editing and
 interleaved think-mode sessions — rebuilt TPU-first rather than ported.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 from bagel_tpu.configs import (
     BagelConfig,
