@@ -31,7 +31,9 @@ def main():
     from bagel_tpu.serving.app import build_engine
 
     real = args.checkpoint is not None
-    args.max_kv = args.max_kv or (8192 if real else 512)
+    # micro sessions accumulate context across the walkthrough's modes
+    # (understand -> t2i -> edit -> think): 1024 covers the whole chain
+    args.max_kv = args.max_kv or (8192 if real else 1024)
     args.max_latent_size = 64
     engine, vae_tf, vit_tf = build_engine(args)
     os.makedirs(args.outdir, exist_ok=True)
