@@ -8,6 +8,15 @@ flattened 14x14x3 patches (the reference converts conv->linear at load,
 :167-182; we are linear-native and the checkpoint converter does the weight
 reshape). 2-D axial RoPE over the patch grid (:102-142) or a learned
 position table (:164-165,191-192).
+
+Attention: at packed lengths worth tiling (>=1024 tokens on TPU) the tower
+runs the block-sparse Pallas flash kernel — the segment predicate is the
+document predicate of ops/sparse_flash with fan_id = segment_ids, so
+same-image full attention falls out of the train-mask kernel with zero new
+kernel code, dead cross-image tiles skip DMA+MXU, and the O(N^2) packed
+segment mask (the reference's flash_attn_varlen site,
+siglip_navit.py:232-241) is never materialized. Small inputs keep the dense
+XLA path.
 """
 
 from __future__ import annotations
@@ -23,6 +32,43 @@ from bagel_tpu.configs import SiglipConfig
 from bagel_tpu.ops.attention import dot_attention, segment_mask
 from bagel_tpu.ops.norms import layer_norm
 from bagel_tpu.ops.rope import apply_rope_2d, rope_2d_tables
+
+_FLASH_MIN_TOKENS = 1024
+_FLASH_BLOCK = 256
+
+
+def segment_flash_attention(
+    q: jax.Array,  # [N, H, D]
+    k: jax.Array,
+    v: jax.Array,
+    segment_ids: jax.Array,  # [N] int32, 0 = padding
+    interpret: bool = False,
+) -> jax.Array:
+    """Same-segment full attention via the block-sparse train kernel.
+
+    sparse_packed_attention's mask is
+    `same_doc & (causal | same_fan) & remove_noise`; passing
+    document_id = fan_id = segment_ids and noise_id = -1 reduces it to
+    exactly `same_segment & segment != 0` — per-image full attention.
+    Padded rows (segment 0) return zeros. Differentiable (custom VJP with
+    chunked recompute), so the packed training forward uses it too."""
+    from bagel_tpu.ops.sparse_flash import sparse_packed_attention
+
+    n = q.shape[0]
+    npad = -(-n // _FLASH_BLOCK) * _FLASH_BLOCK
+    pad = npad - n
+    if pad:
+        q = jnp.pad(q, ((0, pad), (0, 0), (0, 0)))
+        k = jnp.pad(k, ((0, pad), (0, 0), (0, 0)))
+        v = jnp.pad(v, ((0, pad), (0, 0), (0, 0)))
+        segment_ids = jnp.pad(segment_ids, (0, pad))
+    out = sparse_packed_attention(
+        q, k, v, segment_ids.astype(jnp.int32),
+        segment_ids.astype(jnp.int32),
+        jnp.full((npad,), -1, jnp.int32),
+        block_q=_FLASH_BLOCK, block_k=_FLASH_BLOCK, interpret=interpret,
+    )
+    return out[:n] if pad else out
 
 
 def _dense(key, d_in, d_out, dtype, std=0.02):
@@ -82,11 +128,14 @@ def siglip_encode(
     position_ids: jax.Array,  # [N] flattened grid position per token
     segment_ids: jax.Array,  # [N] image index (1-based), 0 = padding
     precision=None,
+    attn_impl: str = "auto",
 ) -> jax.Array:
     """Encode a packed batch of variable-resolution images -> [N, hidden].
 
     Mirrors SiglipVisionTransformer.forward (siglip_navit.py:345-371) with
-    segment-mask attention instead of varlen cu_seqlens.
+    segment-restricted attention instead of varlen cu_seqlens: the Pallas
+    block-sparse flash kernel at packed lengths worth tiling, a dense
+    segment mask otherwise (attn_impl: auto | flash | dense).
     """
     n = packed_patches.shape[0]
     h = cfg.num_attention_heads
@@ -104,7 +153,12 @@ def siglip_encode(
     else:
         rope_tabs = None
 
-    mask = segment_mask(segment_ids[None])  # [1, N, N]
+    use_flash = attn_impl == "flash" or (
+        attn_impl == "auto"
+        and jax.default_backend() == "tpu"
+        and n >= _FLASH_MIN_TOKENS
+    )
+    mask = None if use_flash else segment_mask(segment_ids[None])  # [1, N, N]
 
     def body(x, lp):
         res = x
@@ -116,9 +170,15 @@ def siglip_encode(
             q, k = apply_rope_2d(q, k, *rope_tabs)
             q = q.astype(v.dtype)
             k = k.astype(v.dtype)
-        att = dot_attention(
-            q[None], k[None], v[None], mask=mask, precision=precision
-        )[0]
+        if use_flash:
+            att = segment_flash_attention(
+                q, k, v, segment_ids,
+                interpret=jax.default_backend() != "tpu",
+            )
+        else:
+            att = dot_attention(
+                q[None], k[None], v[None], mask=mask, precision=precision
+            )[0]
         x = res + _linear(att.reshape(n, h * hd), lp["attn"]["o"], precision)
 
         res = x

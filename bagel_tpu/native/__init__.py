@@ -9,14 +9,12 @@ from __future__ import annotations
 
 import ctypes
 import os
-import subprocess
 from typing import Optional, Tuple
 
 import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "packing.cc")
-_LIB = os.path.join(_DIR, "libbagelpack.so")
 
 _lib = None
 _tried = False
@@ -28,15 +26,12 @@ def _load() -> Optional[ctypes.CDLL]:
         return _lib
     _tried = True
     try:
-        if not os.path.exists(_LIB) or (
-            os.path.getmtime(_SRC) > os.path.getmtime(_LIB)
-        ):
-            subprocess.run(
-                ["g++", "-O3", "-march=native", "-shared", "-fPIC", _SRC,
-                 "-o", _LIB],
-                check=True, capture_output=True,
-            )
-        lib = ctypes.CDLL(_LIB)
+        from bagel_tpu.native._build import build_library
+
+        lib_path = build_library(_SRC, "bagelpack")
+        if lib_path is None:
+            return None
+        lib = ctypes.CDLL(lib_path)
         lib.pack_spans.restype = ctypes.c_longlong
         lib.pack_spans.argtypes = [
             ctypes.c_void_p, ctypes.c_longlong,

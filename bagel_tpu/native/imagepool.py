@@ -19,14 +19,12 @@ from __future__ import annotations
 import ctypes
 import io
 import os
-import subprocess
 from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "imagepool.cc")
-_LIB = os.path.join(_DIR, "libbagelimg.so")
 
 _lib = None
 _tried = False
@@ -38,15 +36,13 @@ def _load() -> Optional[ctypes.CDLL]:
         return _lib
     _tried = True
     try:
-        if not os.path.exists(_LIB) or (
-            os.path.getmtime(_SRC) > os.path.getmtime(_LIB)
-        ):
-            subprocess.run(
-                ["g++", "-O3", "-march=native", "-shared", "-fPIC", _SRC,
-                 "-o", _LIB, "-ljpeg", "-lpthread"],
-                check=True, capture_output=True,
-            )
-        lib = ctypes.CDLL(_LIB)
+        from bagel_tpu.native._build import build_library
+
+        lib_path = build_library(_SRC, "bagelimg",
+                                 extra_flags=["-ljpeg", "-lpthread"])
+        if lib_path is None:
+            return None
+        lib = ctypes.CDLL(lib_path)
         lib.jpeg_dims.restype = ctypes.c_int
         lib.jpeg_dims.argtypes = [
             ctypes.c_char_p, ctypes.c_longlong,

@@ -40,7 +40,10 @@ def parse_args(argv=None):
     p.add_argument("--num_timesteps", type=int, default=50)
     p.add_argument("--cfg_text_scale", type=float, default=4.0)
     p.add_argument("--cfg_img_scale", type=float, default=1.5)
-    p.add_argument("--cfg_renorm_type", type=str, default="global")
+    p.add_argument("--cfg_renorm_type", type=str, default=None,
+                   help="default: global for t2i, text_channel for edit "
+                        "(the reference edit path renorm, "
+                        "inferencer.py:215-225)")
     p.add_argument("--timestep_shift", type=float, default=3.0)
     p.add_argument("--enable_taylorseer", action="store_true")
     p.add_argument("--quant", type=str, default=None,
@@ -118,29 +121,36 @@ def _load_image(path, transform):
     return transform(img)
 
 
-def run_once(engine, vae_tf, args):
+def run_once(engine, vae_tf, vit_tf, args):
     import jax
 
     from PIL import Image
 
     rng = jax.random.PRNGKey(args.seed)
+    # edit defaults to text_channel renorm like the reference edit path
+    # (inferencer.py:215-225); t2i to global
+    renorm = args.cfg_renorm_type or (
+        "text_channel" if args.mode == "edit" else "global"
+    )
     kwargs = dict(
         think=args.think,
         cfg_text_scale=args.cfg_text_scale,
         cfg_img_scale=args.cfg_img_scale,
-        cfg_renorm_type=args.cfg_renorm_type,
+        cfg_renorm_type=renorm,
         timestep_shift=args.timestep_shift,
         num_timesteps=args.num_timesteps,
         image_shapes=(args.image_size, args.image_size),
         enable_taylorseer=args.enable_taylorseer,
         rng=rng,
     )
-    image = _load_image(args.image, vae_tf) if args.image else None
     if args.mode == "understand":
+        # understanding is the ViT pathway: stride-14 resize policy
+        image = _load_image(args.image, vit_tf) if args.image else None
         out = engine(image=image, text=args.prompt,
                      understanding_output=True, think=args.think)
         print(out["text"])
         return out
+    image = _load_image(args.image, vae_tf) if args.image else None
     out = engine(image=image, text=args.prompt, **kwargs)
     if out.get("text"):
         print(out["text"])
@@ -150,7 +160,7 @@ def run_once(engine, vae_tf, args):
     return out
 
 
-def launch_ui(engine, vae_tf, args):
+def launch_ui(engine, vae_tf, vit_tf, args):
     import jax
     import gradio as gr
 
@@ -174,7 +184,7 @@ def launch_ui(engine, vae_tf, args):
         return out.get("image"), out.get("text") or ""
 
     def understand(image, prompt, think):
-        arr = vae_tf(image)
+        arr = vit_tf(image)  # stride-14 ViT resize, not the VAE's stride 16
         out = engine(image=arr, text=prompt, understanding_output=True,
                      think=think)
         return out.get("text") or ""
@@ -226,7 +236,7 @@ def main(argv=None):
     args = parse_args(argv)
     engine, vae_tf, vit_tf = build_engine(args)
     if args.mode:
-        return run_once(engine, vae_tf, args)
+        return run_once(engine, vae_tf, vit_tf, args)
     try:
         import gradio  # noqa: F401
     except ImportError:
@@ -241,14 +251,14 @@ def main(argv=None):
             if line == ":quit":
                 break
             if line.startswith(":img "):
-                image = _load_image(line[5:], vae_tf)
+                image = _load_image(line[5:], vit_tf)
                 print("image attached")
                 continue
             out = engine(image=image, text=line, understanding_output=True)
             print(out["text"])
             image = None
         return
-    launch_ui(engine, vae_tf, args)
+    launch_ui(engine, vae_tf, vit_tf, args)
 
 
 if __name__ == "__main__":

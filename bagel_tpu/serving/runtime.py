@@ -189,21 +189,73 @@ class ServingRuntime:
             self.cache, length=self.cache.length.at[i].set(0)
         )
 
+    def _request_widths(self, req: _ChatRequest):
+        """(img_tokens or None, text_tokens) the prefill will write for a
+        request — must mirror _prefill_rows' patch/tokenize math exactly."""
+        eng = self.engine
+        img_n = None
+        if req.image is not None:
+            patch = eng.cfg.vit.patch_size
+            img = eng._crop_to_multiple(req.image, patch)
+            img_n = (img.shape[0] // patch) * (img.shape[1] // patch)
+        text_n = len(eng.tokenizer.encode(req.prompt)) + 2
+        return img_n, text_n
+
+    @staticmethod
+    def _group_blocks(widths):
+        """Shared padded block widths for a batched admission group: the
+        image blocks pad to one bucket, the text blocks to another, and the
+        two prefills write SEQUENTIALLY — a row needs its post-image length
+        plus the full text bucket, not max(image, text)."""
+        img_tb = 0
+        if any(w[0] is not None for w in widths):
+            img_tb = _bucket(max(w[0] for w in widths if w[0] is not None) + 2)
+        text_tb = _bucket(max(w[1] for w in widths))
+        return img_tb, text_tb
+
+    def _group_fits(self, widths, max_kv: int) -> bool:
+        img_tb, text_tb = self._group_blocks(widths)
+        for img_n, _ in widths:
+            after_img = img_n + 2 if img_n is not None else 0
+            if max(img_tb, after_img + text_tb) > max_kv:
+                return False
+        return True
+
     def _admit(self):
-        """Move queued chat requests into free slots (one batched prefill)."""
-        rows, reqs = [], []
+        """Move queued chat requests into free slots (one batched prefill).
+
+        Greedy group building with a sequential-capacity check per candidate:
+        a request joins the group only while every member still fits its
+        image-block-then-text-block writes inside max_kv under the group's
+        shared padded widths (the blocks are written sequentially, so the
+        per-row requirement is image_len + text_bucket — taking the max of
+        the two blocks would admit requests whose text write then clamps
+        into, and corrupts, their own image KV)."""
         free = self._free_rows()
+        rows, reqs, widths = [], [], []
         while free and not self.chat_q.empty():
             try:
                 req = self.chat_q.get_nowait()
             except queue.Empty:
                 break
+            w = self._request_widths(req)
+            if not self._group_fits([w], self.engine.max_kv):
+                req.future.set_error(ValueError(
+                    f"request needs {(w[0] + 2 if w[0] is not None else 0)}"
+                    f"+{_bucket(w[1])} KV tokens but the buffer holds "
+                    f"{self.engine.max_kv}; raise max_kv"
+                ))
+                continue
+            if not self._group_fits(widths + [w], self.engine.max_kv):
+                self.chat_q.put(req)  # fits alone; admit in a later group
+                break
             rows.append(free.pop(0))
             reqs.append(req)
+            widths.append(w)
         if not rows:
             return
         try:
-            self._prefill_rows(rows, reqs)
+            self._prefill_rows(rows, reqs, widths)
         except _Defer:
             # a live session is too close to max_kv for the padded prefill
             # block: requeue and admit once it retires
@@ -214,39 +266,28 @@ class ServingRuntime:
                 self.slot_state[r] = None
                 req.future.set_error(e)
 
-    def _prefill_rows(self, rows: List[int], reqs: List[_ChatRequest]):
+    def _prefill_rows(self, rows: List[int], reqs: List[_ChatRequest],
+                      widths: Optional[list] = None):
         eng = self.engine
         cfg = eng.cfg
         b = self.slots
 
-        # capacity pre-check BEFORE touching the cache: llm_extend writes its
+        # live-row pre-check BEFORE touching the cache: llm_extend writes its
         # padded tb-block into EVERY row at that row's current length (only
         # the length advance is gated by q_valid), and dynamic_update_slice
         # clamps out-of-range starts — which would silently overwrite a live
-        # session's KV tail. Reject oversized requests; defer admission while
-        # any live row is too close to the buffer end.
-        patch = cfg.vit.patch_size if cfg.vit is not None else 16
-        tbs = []
-        for req in reqs:
-            if req.image is not None:
-                img = eng._crop_to_multiple(req.image, patch)
-                n = (img.shape[0] // patch) * (img.shape[1] // patch)
-                tbs.append(_bucket(n + 2))
-            ids_len = len(eng.tokenizer.encode(req.prompt)) + 2
-            tbs.append(_bucket(ids_len))
-        tb_need = max(tbs)
-        if tb_need > eng.max_kv:
-            raise ValueError(
-                f"request needs a {tb_need}-token prefill block but the KV "
-                f"buffer holds {eng.max_kv}; raise max_kv"
-            )
+        # session's KV tail. Defer admission while any live row is too close
+        # to the buffer end for either block write.
+        if widths is None:
+            widths = [self._request_widths(r) for r in reqs]
+        img_tb, text_tb = self._group_blocks(widths)
         lengths = np.asarray(self.cache.length)
         live_max = max(
             (int(lengths[i]) for i, s in enumerate(self.slot_state)
              if s is not None and i not in rows),
             default=0,
         )
-        if live_max + tb_need > eng.max_kv:
+        if live_max + max(img_tb, text_tb) > eng.max_kv:
             raise _Defer()
 
         # reset the admitted rows' cache lengths (their KV rows are dead)

@@ -54,6 +54,21 @@ from bagel_tpu.train.step import (
 from bagel_tpu.utils.metrics import ThroughputMeter, make_logger
 
 
+@jax.jit
+def _seqlen_sq(document_id):
+    """Sum over packed samples of len(sample)^2 — the attention term of the
+    analytic FLOPs model (pretrain_unified_navit.py:675-681 all_reduces the
+    same counter). document_id: [B, S] int32, 0 = padding. Stays on device;
+    the driver accumulates it and fetches only at log boundaries."""
+    nbins = 512  # packing caps samples-per-sequence far below this
+    d = jnp.clip(document_id, 0, nbins - 1)
+    one = (document_id > 0).astype(jnp.int32)
+    counts = jnp.zeros(
+        (document_id.shape[0], nbins), jnp.int32
+    ).at[jnp.arange(document_id.shape[0])[:, None], d].add(one)
+    return jnp.sum(counts.astype(jnp.float32) ** 2)
+
+
 def parse_args(argv=None):
     p = argparse.ArgumentParser("bagel_tpu trainer")
     # model
@@ -372,9 +387,22 @@ def main(argv=None):
     # the dp mesh dim (one sequence per dp slice, like one packed batch per
     # reference rank)
     dp = shape[0]
+    seqsq_acc = jnp.float32(0.0)
+    # --profile_dir traces a 2-step window AFTER the compile step (tracing
+    # the whole run would dump gigabytes; the reference has no tracer at
+    # all, SURVEY §5.1)
+    prof_start = start_step + 1
+    prof_stop = min(prof_start + 2, args.total_steps)
+    profiling = False
 
     with mesh:
         for step in range(start_step, args.total_steps):
+            if args.profile_dir and step == prof_start:
+                jax.profiler.start_trace(args.profile_dir)
+                profiling = True
+            if profiling and step == prof_stop:
+                jax.profiler.stop_trace()
+                profiling = False
             grads_acc = None
             metrics = None
             for _ in range(args.gradient_accumulation_steps):
@@ -408,6 +436,9 @@ def main(argv=None):
                     data_status = update_data_status(data_status, data_indexes)
                 meter.update(int(bb.position_ids.shape[0] *
                                  bb.position_ids.shape[1]))
+                # attention-FLOPs term: accumulate sum(len^2) on device (no
+                # per-microstep host sync; fetched at the log boundary)
+                seqsq_acc = seqsq_acc + _seqlen_sq(bb.document_id)
             if args.gradient_accumulation_steps > 1:
                 grads_acc = jax.tree.map(
                     lambda x: x / args.gradient_accumulation_steps, grads_acc
@@ -415,6 +446,7 @@ def main(argv=None):
             state = apply_step(state, grads_acc)
 
             if step % args.log_every == 0:
+                meter.seqlen_sq = float(seqsq_acc)
                 w = meter.window()
                 msg = (
                     f"(step={step:07d}) "
@@ -436,6 +468,7 @@ def main(argv=None):
                         step=step,
                     )
                 meter.reset()
+                seqsq_acc = jnp.float32(0.0)
 
             if step > start_step and step % args.save_every == 0:
                 # collective: every process enters the Orbax save and the
@@ -445,6 +478,8 @@ def main(argv=None):
                                 gather_data_status(data_status), cfg)
                 logger.info(f"saved checkpoint at step {step}")
 
+        if profiling:  # total_steps ended inside the trace window
+            jax.profiler.stop_trace()
         save_checkpoint(args.ckpt_dir, args.total_steps, state,
                         gather_data_status(data_status), cfg)
         logger.info("saved final checkpoint")

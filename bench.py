@@ -27,12 +27,66 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
 FULL_DEPTH = 28  # BAGEL-7B-MoT decoder depth
+
+# Hard wall-clock budget for the whole bench (the driver kills overlong
+# runs): the headline attempt runs first and later attempts are skipped when
+# the remaining budget can't cover them. Children inherit the persistent XLA
+# compilation cache below, so a warmed repo re-benches in minutes.
+BUDGET_S = float(os.environ.get("BAGEL_BENCH_BUDGET_S", "1500"))
+JAX_CACHE_DIR = os.environ.get(
+    "BAGEL_JAX_CACHE", os.path.join(os.path.dirname(__file__), ".jax_cache")
+)
+_T0 = time.monotonic()
+
+
+def _remaining(reserve: float = 45.0) -> float:
+    """Seconds left in the budget, keeping `reserve` for aggregation."""
+    return BUDGET_S - (time.monotonic() - _T0) - reserve
+
+
+def _cache_warm() -> bool:
+    """True when the persistent compile cache already has large entries
+    (a prior bench run compiled the full-depth programs)."""
+    try:
+        entries = os.listdir(JAX_CACHE_DIR)
+    except OSError:
+        return False
+    return sum(1 for e in entries if not e.startswith(".")) >= 2
+
+
+def _honor_platform_env():
+    """This machine's jax build ignores the JAX_PLATFORMS env var (NOTES);
+    apply it programmatically so `JAX_PLATFORMS=cpu python bench.py` runs the
+    CPU tiny preset instead of touching the shared tunneled TPU."""
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
+
+
+def _enable_compile_cache():
+    """Persistent XLA compilation cache: the depth-28 denoise programs cost
+    ~15 min of compile each on this 1-core host; caching them makes every
+    later bench run (including the driver's) start from warm."""
+    import jax
+
+    try:
+        os.makedirs(JAX_CACHE_DIR, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", JAX_CACHE_DIR)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception as e:  # cache is an optimization, never a requirement
+        print(f"# compile cache unavailable: {e}", file=sys.stderr)
 
 
 # ---------------------------------------------------------------------------
@@ -443,9 +497,69 @@ def run_train_bench(depth: int, dtype_name: str, image: int = 1024,
 # ---------------------------------------------------------------------------
 
 
+def run_serving_bench(depth: int, dtype_name: str, slots: int = 8,
+                      prompt_len: int = 480, max_new: int = 64):
+    """Aggregate decode tok/s through the continuous-batching ServingRuntime
+    (serving/runtime.py): `2*slots` text chat requests with ~prompt_len-token
+    prompts share the slot-batched cache; decode is bandwidth-bound so the
+    aggregate rate quantifies the batching win over B=1.
+    Returns (aggregate_tok_s, total_tokens, elapsed_s)."""
+    import jax
+    import jax.numpy as jnp
+
+    from bagel_tpu.configs import BagelConfig, Qwen2Config, VAEConfig
+    from bagel_tpu.data.tokenizer import MockTokenizer
+    from bagel_tpu.inference.engine import BagelEngine
+    from bagel_tpu.serving.runtime import ServingRuntime
+
+    llm = Qwen2Config(num_hidden_layers=depth)
+    cfg = BagelConfig(llm=llm, vit=None, vae=VAEConfig(), visual_und=False,
+                      max_latent_size=64)
+    if dtype_name in ("int8", "w8a8"):
+        params = {"llm": _fast_quantized_llm(llm, mode=dtype_name)}
+    else:
+        dtype = jnp.bfloat16 if dtype_name == "bf16" else jnp.float32
+        if jax.default_backend() == "tpu":
+            params = {"llm": fast_llm_params(llm, dtype)}
+        else:
+            from bagel_tpu.models import init_qwen2_params
+
+            params = {"llm": init_qwen2_params(jax.random.PRNGKey(0), llm,
+                                               dtype)}
+    tok = MockTokenizer(llm.vocab_size)
+    eng = BagelEngine(params, cfg, tok, tok.new_token_ids,
+                      max_kv=prompt_len + max_new + 256)
+    prompt = "a" * prompt_len  # MockTokenizer: one token per char
+
+    def run_wave(n_req):
+        rt = ServingRuntime(eng, slots=slots, decode_chunk=16,
+                            max_new_default=max_new)
+        rt.start()
+        try:
+            futs = [rt.submit_chat(prompt) for _ in range(n_req)]
+            for f in futs:
+                f.result(timeout=3600)
+        finally:
+            rt.stop()
+        return rt.stats["tokens_out"]
+
+    run_wave(slots)  # compile (prefill + chunked decode) + warmup
+    t0 = time.perf_counter()
+    total = run_wave(2 * slots)
+    elapsed = time.perf_counter() - t0
+    return total / elapsed, total, elapsed
+
+
+# ---------------------------------------------------------------------------
+# Driver
+# ---------------------------------------------------------------------------
+
+
 def _child_main(args):
     """One attempt in a fresh process (avoids HBM fragmentation and compile
     interference between attempts)."""
+    _honor_platform_env()
+    _enable_compile_cache()
     if args.mode == "decode":
         tok_s = run_decode_bench(args.depth, args.dtype)
         print(f"DECODE {tok_s}")
@@ -454,23 +568,32 @@ def _child_main(args):
         step_s, tokens = run_train_bench(args.depth, args.dtype)
         print(f"TRAIN {step_s} {tokens}")
         return
+    if args.mode == "serve":
+        tok_s, total, elapsed = run_serving_bench(args.depth, args.dtype,
+                                                  slots=args.slots)
+        print(f"SERVE {tok_s} {total} {elapsed} {args.slots}")
+        return
     fn = run_denoise_naive if args.schedule == "naive" else run_denoise_production
     elapsed, detail = fn(args.depth, args.image, args.steps, args.dtype)
     print(f"ELAPSED {elapsed}")
     print(f"DETAIL {json.dumps(detail)}")
 
 
-def _spawn(mode, depth, dtype, image, steps, schedule, timeout):
+def _spawn(mode, depth, dtype, image, steps, schedule, timeout, slots=8):
     import subprocess
 
+    timeout = min(timeout, max(_remaining(), 1.0))
     cmd = [sys.executable, __file__, "--mode", mode, "--depth", str(depth),
            "--dtype", dtype, "--image", str(image), "--steps", str(steps),
-           "--schedule", schedule]
+           "--schedule", schedule, "--slots", str(slots)]
+    t0 = time.monotonic()
     try:
         proc = subprocess.run(cmd, capture_output=True, text=True,
                               timeout=timeout)
     except subprocess.TimeoutExpired:
-        print(f"# {mode} depth {depth}/{dtype} timed out", file=sys.stderr)
+        print(f"# {mode} depth {depth}/{dtype} timed out after "
+              f"{time.monotonic() - t0:.0f}s (cap {timeout:.0f}s)",
+              file=sys.stderr)
         return None
     out = {}
     for line in proc.stdout.splitlines():
@@ -481,12 +604,19 @@ def _spawn(mode, depth, dtype, image, steps, schedule, timeout):
         elif line.startswith("TRAIN "):
             out["train_s"] = float(line.split()[1])
             out["train_tokens"] = int(line.split()[2])
+        elif line.startswith("SERVE "):
+            parts = line.split()
+            out["serve_tok_s"] = float(parts[1])
+            out["serve_tokens"] = int(parts[2])
+            out["serve_elapsed"] = float(parts[3])
+            out["serve_slots"] = int(parts[4])
         elif line.startswith("DETAIL "):
             out["detail"] = json.loads(line[len("DETAIL "):])
     if not out:
         tail = "\n".join(proc.stderr.splitlines()[-5:])
         print(f"# {mode} depth {depth}/{dtype} failed:\n{tail}", file=sys.stderr)
         return None
+    out["wall_s"] = round(time.monotonic() - t0, 1)
     return out
 
 
@@ -496,8 +626,10 @@ def main():
     ap.add_argument("--steps", type=int, default=None)
     ap.add_argument("--image", type=int, default=None)
     ap.add_argument("--mode", default=None,
-                    choices=[None, "denoise", "decode", "train"],
+                    choices=[None, "denoise", "decode", "train", "serve"],
                     help="internal: child runs one attempt and prints raw numbers")
+    ap.add_argument("--slots", type=int, default=8,
+                    help="serving-runtime bench slot count")
     ap.add_argument("--depth", type=int, default=None)
     ap.add_argument("--dtype", type=str, default="bf16",
                     choices=["bf16", "fp32", "int8", "w8a8"])
@@ -509,6 +641,7 @@ def main():
         _child_main(args)
         return
 
+    _honor_platform_env()
     import jax
 
     platform = jax.devices()[0].platform
@@ -521,6 +654,7 @@ def main():
         int8_denoise = int8_decode = None
         quant_denoise, quant_decode = {}, {}
         train_point = None
+        serve_point = None
         try:
             decode_points = [(2, run_decode_bench(2, "fp32", prompt_len=32,
                                                   new_tokens=4))]
@@ -528,51 +662,86 @@ def main():
             pass
     else:
         image, steps = args.image or 1024, args.steps or 50
-        # bf16 depth-reduced attempts: reliable on the 16 GB chip (weights
-        # built on device; depth 8 MoT = ~7.5 GB bf16).
-        elapsed = detail = None
-        for depth, dtype in [(8, "bf16"), (4, "bf16")]:
-            r = _spawn("denoise", depth, dtype, image, steps, args.schedule,
-                       timeout=2100)
-            if r and "elapsed" in r:
-                elapsed, detail = r["elapsed"], r.get("detail", {})
-                break
-        # decode at two depths: per-token time is affine in depth
-        # (t = a + b*d; the 1.1 GB lm_head read and loop overhead don't
-        # scale with layer count), so two points give a far better 28-layer
-        # estimate than naive linear scaling
-        decode_points = []
-        for ddepth, ddtype in [(8, "bf16"), (4, "bf16")]:
-            r = _spawn("decode", ddepth, ddtype, image, steps, args.schedule,
-                       timeout=1500)
-            if r and "decode" in r:
-                decode_points.append((ddepth, r["decode"]))
-        # full-depth quantized attempts (the app.py INT8 serving config) fit
-        # one 16 GB chip — MEASURED 28-layer points, no extrapolation. w8a8
-        # additionally runs int8 MXU dots (2x bf16 matmul rate on v5e).
+        # Budget-aware attempt schedule (the driver's wall clock is a hard
+        # constraint — an unfinished bench records NOTHING). The measured
+        # full-depth w8a8 denoise is the headline and runs first; every
+        # later attempt is optional and only runs if budget remains. With a
+        # cold compile cache the full-depth program may not fit the budget
+        # at all, so the cheap bf16 depth-8 attempt runs first instead —
+        # its extrapolated number is a valid (weaker) headline and the
+        # driver is guaranteed to record SOMETHING.
+        elapsed = detail = None  # bf16 depth-reduced denoise result
+        depth, dtype = 8, "bf16"
         quant_denoise, quant_decode = {}, {}
-        for qmode in ("w8a8", "int8"):
+        decode_points = []
+        train_point = None
+        serve_point = None
+        warm = _cache_warm()
+
+        def denoise_bf16():
+            nonlocal elapsed, detail, depth
+            for dd in (8, 4):
+                if _remaining() <= 60:
+                    return
+                r = _spawn("denoise", dd, "bf16", image, steps,
+                           args.schedule, timeout=1800)
+                if r and "elapsed" in r:
+                    elapsed, detail, depth = r["elapsed"], r.get("detail", {}), dd
+                    return
+
+        def denoise_quant(qmode, cap=2100):
             r = _spawn("denoise", FULL_DEPTH, qmode, image, steps,
-                       args.schedule, timeout=2100)
+                       args.schedule, timeout=cap)
             if r and "elapsed" in r:
                 quant_denoise[qmode] = r["elapsed"]
-            r = _spawn("decode", FULL_DEPTH, qmode, image, steps,
-                       args.schedule, timeout=1500)
+
+        if warm:
+            denoise_quant("w8a8")  # headline: measured, no extrapolation
+            if not quant_denoise and _remaining() > 60:
+                denoise_bf16()  # fallback basis
+        else:
+            # cold cache: guarantee a headline first, then go for the
+            # measured full-depth number with everything that remains
+            denoise_bf16()
+            if _remaining() > 300:
+                denoise_quant("w8a8")
+        # decode (second BASELINE metric): full-depth measured
+        if _remaining() > 120:
+            r = _spawn("decode", FULL_DEPTH, "w8a8", image, steps,
+                       args.schedule, timeout=1200)
             if r and "decode" in r:
-                quant_decode[qmode] = r["decode"]
-        int8_denoise = quant_denoise.get("int8")
-        int8_decode = quant_decode.get("int8")
+                quant_decode["w8a8"] = r["decode"]
+        # ---- optional attempts, cheapest-first, budget permitting ----
+        # serving runtime aggregate decode (continuous batching win)
+        if _remaining() > 300:
+            r = _spawn("serve", FULL_DEPTH, "w8a8", image, steps,
+                       args.schedule, timeout=1200, slots=8)
+            if r and "serve_tok_s" in r:
+                serve_point = r
+        # decode at two bf16 depths: per-token time is affine in depth
+        # (t = a + b*d; lm_head read and loop overhead don't scale with
+        # layer count) -> better 28-layer estimate than linear scaling
+        if _remaining() > 300:
+            for ddepth in (8, 4):
+                if _remaining() <= 120:
+                    break
+                r = _spawn("decode", ddepth, "bf16", image, steps,
+                           args.schedule, timeout=900)
+                if r and "decode" in r:
+                    decode_points.append((ddepth, r["decode"]))
         # train fwd+bwd (SURVEY §6's only train-side perf row): full width,
-        # depth 4 — the deepest whose params+grads fit the 16 GB chip in
-        # bf16 (depth 8 measured RESOURCE_EXHAUSTED; real runs shard
-        # params/grads/moments over fsdp)
-        train_point = None
-        for tdepth in (4,):
-            r = _spawn("train", tdepth, "bf16", image, steps, args.schedule,
-                       timeout=2100)
+        # depth 4 — the deepest whose params+grads fit 16 GB in bf16
+        if _remaining() > 300:
+            r = _spawn("train", 4, "bf16", image, steps, args.schedule,
+                       timeout=1200)
             if r and "train_s" in r:
-                train_point = (tdepth, r["train_s"], r["train_tokens"])
-                break
+                train_point = (4, r["train_s"], r["train_tokens"])
+        # int8 weight-only full-depth denoise (serving --quant int8 config)
+        if _remaining() > 600:
+            denoise_quant("int8", cap=1500)
+        # bf16 depth-8 extrapolation cross-check when w8a8 ran first
+        if warm and elapsed is None and _remaining() > 600:
+            denoise_bf16()
 
     if elapsed is None and not quant_denoise:
         print(json.dumps({"metric": "bench_failed", "value": 0, "unit": "",
@@ -604,8 +773,12 @@ def main():
         if 1.0 / qelapsed > img_per_s:
             img_per_s = 1.0 / qelapsed
             headline_basis = f"{qmode} full-depth measured (no extrapolation)"
+    # non-50-step production runs measure a different schedule: embed the
+    # real step count in the metric name instead of mislabeling (naive/tiny
+    # runs are rescaled to the 50-step cost above, so they keep the label)
+    steps_label = 50 if (args.schedule == "naive" or platform == "cpu") else steps
     result = {
-        "metric": f"{image}px_50step_cfg_t2i_denoise_throughput",
+        "metric": f"{image}px_{steps_label}step_cfg_t2i_denoise_throughput",
         "value": round(img_per_s, 5),
         "unit": "img/s/chip",
         "vs_baseline": round(img_per_s / 2.0, 5),
@@ -639,6 +812,20 @@ def main():
         result["detail"][f"{qmode}_full_depth_decode_tok_per_s_measured"] = (
             round(qtok, 2)
         )
+    if serve_point is not None:
+        result["detail"]["serving_runtime_aggregate_decode"] = {
+            "slots": serve_point["serve_slots"],
+            "aggregate_tok_per_s": round(serve_point["serve_tok_s"], 2),
+            "tokens": serve_point["serve_tokens"],
+            "elapsed_s": round(serve_point["serve_elapsed"], 2),
+            "note": (
+                "2*slots mixed text chats through ServingRuntime "
+                "continuous batching (w8a8 full depth); compare "
+                "w8a8_full_depth_decode_tok_per_s_measured for B=1"
+            ),
+        }
+    result["detail"]["bench_wall_s"] = round(time.monotonic() - _T0, 1)
+    result["detail"]["bench_budget_s"] = BUDGET_S
     if train_point is not None:
         tdepth, tsec, ttok = train_point
         result["detail"]["train_fwd_bwd"] = {

@@ -176,3 +176,79 @@ def test_siglip_padding_invariance(setup):
     np.testing.assert_allclose(
         np.asarray(padded[:n]), np.asarray(base), rtol=1e-5, atol=1e-5
     )
+
+
+def test_segment_flash_matches_dense():
+    """segment_flash_attention (block-sparse kernel reuse) == dense
+    segment-mask attention, including padded (segment 0) rows -> zeros."""
+    import jax
+    import jax.numpy as jnp
+
+    from bagel_tpu.models.siglip import segment_flash_attention
+    from bagel_tpu.ops.attention import dot_attention, segment_mask
+
+    rng = np.random.default_rng(7)
+    n, h, d = 640, 4, 72  # SigLIP head_dim 72; n not a block multiple
+    seg = np.zeros(n, np.int32)
+    seg[:200] = 1
+    seg[200:500] = 2
+    seg[500:600] = 3  # trailing 40 tokens stay padding
+    q = rng.standard_normal((n, h, d)).astype(np.float32)
+    k = rng.standard_normal((n, h, d)).astype(np.float32)
+    v = rng.standard_normal((n, h, d)).astype(np.float32)
+
+    got = segment_flash_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(seg),
+        interpret=True,
+    )
+    want = dot_attention(
+        jnp.asarray(q)[None], jnp.asarray(k)[None], jnp.asarray(v)[None],
+        mask=segment_mask(jnp.asarray(seg)[None]),
+        precision="float32",
+    )[0]
+    np.testing.assert_allclose(np.asarray(got)[:600], np.asarray(want)[:600],
+                               rtol=2e-5, atol=2e-5)
+    assert np.abs(np.asarray(got)[600:]).max() == 0.0
+
+
+def test_siglip_encode_flash_matches_dense():
+    """siglip_encode attn_impl='flash' == 'dense' through the full tower
+    (2-D rope + layernorms + MLP), grads included."""
+    import jax
+    import jax.numpy as jnp
+
+    from bagel_tpu.configs import SiglipConfig
+    from bagel_tpu.models.siglip import init_siglip_params, siglip_encode
+
+    cfg = SiglipConfig(
+        hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+        num_attention_heads=4, patch_size=14, image_size=28, rope=True,
+    )
+    params = init_siglip_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    rng = np.random.default_rng(3)
+    n = 300
+    patches = jnp.asarray(
+        rng.standard_normal((n, cfg.patch_dim)).astype(np.float32)
+    )
+    pos = jnp.asarray(rng.integers(0, 4, size=n).astype(np.int32))
+    seg = np.zeros(n, np.int32)
+    seg[:128] = 1
+    seg[128:260] = 2
+    seg = jnp.asarray(seg)
+
+    def run(impl):
+        def loss(p):
+            out = siglip_encode(p, cfg, patches, pos, seg,
+                                precision="float32", attn_impl=impl)
+            return jnp.sum(out ** 2), out
+
+        (l, out), g = jax.value_and_grad(loss, has_aux=True)(params)
+        return l, out, g
+
+    l_f, out_f, g_f = run("flash")
+    l_d, out_d, g_d = run("dense")
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_d),
+                               rtol=1e-4, atol=1e-4)
+    for a, b in zip(jax.tree.leaves(g_f), jax.tree.leaves(g_d)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-3)
