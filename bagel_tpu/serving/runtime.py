@@ -119,14 +119,27 @@ class ServingRuntime:
         slots: int = 4,
         decode_chunk: int = 16,
         max_new_default: int = 256,
+        mesh=None,
     ):
+        """mesh: optional jax.sharding.Mesh (dp, fsdp, tp). When given, the
+        slot-batched KV cache is created sharded — slots over dp, KV heads
+        over tp (each axis only when divisible) — so a 14B engine whose
+        weights are GSPMD-sharded over v5e-8 (app.py --mesh) serves
+        continuous batches without replicating the cache per chip. The
+        scheduler remains a single controller: in a multi-process
+        deployment requests enter at process 0 and the per-iteration jitted
+        calls are identical on every process (GSPMD single-program model).
+        """
         self.engine = engine
         self.slots = slots
         self.decode_chunk = decode_chunk
         self.max_new_default = max_new_default
+        self.mesh = mesh
         self.cache: KVCache = kv_cache_init(
             engine.cfg.llm, slots, engine.max_kv, engine.cache_dtype
         )
+        if mesh is not None:
+            self.cache = self._shard_cache(self.cache)
         self.slot_state: List[Optional[_Slot]] = [None] * slots
         self.chat_q: "queue.Queue[_ChatRequest]" = queue.Queue()
         self.gen_q: "queue.Queue[_GenRequest]" = queue.Queue()
@@ -135,6 +148,21 @@ class ServingRuntime:
         self._thread: Optional[threading.Thread] = None
         self.stats = {"chat_done": 0, "gen_done": 0, "chunks": 0,
                       "tokens_out": 0}
+
+    def _shard_cache(self, cache: KVCache) -> KVCache:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        axes = dict(zip(self.mesh.axis_names, self.mesh.devices.shape))
+        kh = self.engine.cfg.llm.num_key_value_heads
+        slot_ax = "dp" if self.slots % max(axes.get("dp", 1), 1) == 0 else None
+        kh_ax = "tp" if kh % max(axes.get("tp", 1), 1) == 0 else None
+        kv_s = NamedSharding(self.mesh, P(None, slot_ax, None, kh_ax, None))
+        len_s = NamedSharding(self.mesh, P(slot_ax))
+        return KVCache(
+            k=jax.device_put(cache.k, kv_s),
+            v=jax.device_put(cache.v, kv_s),
+            length=jax.device_put(cache.length, len_s),
+        )
 
     # -- client API ----------------------------------------------------------
 

@@ -126,3 +126,28 @@ def test_runtime_stop_fails_pending(engine):
     rt.stop()
     with pytest.raises((RuntimeError, TimeoutError)):
         fut.result(timeout=5)
+
+
+@pytest.mark.parametrize("mesh_shape", [(1, 2, 4), (2, 2, 2)])
+def test_runtime_sharded_mesh(engine, mesh_shape):
+    """Continuous batching with GSPMD-sharded weights AND a mesh-sharded
+    slot cache (slots over dp, KV heads over tp when divisible) matches the
+    unsharded sequential engine — the v5e-8 serving story."""
+    from bagel_tpu.parallel import make_mesh, shard_params
+
+    cfg = engine.cfg
+    mesh = make_mesh(mesh_shape)
+    with mesh:
+        sparams = shard_params(mesh, engine.params)
+        seng = BagelEngine(sparams, cfg, engine.tokenizer,
+                           engine.new_token_ids, max_kv=512)
+        rt = ServingRuntime(seng, slots=2, decode_chunk=3,
+                            max_new_default=6, mesh=mesh)
+        rt.start()
+        try:
+            futs = [rt.submit_chat(p) for p in ("hello there", "how now")]
+            got = [f.result(timeout=600) for f in futs]
+        finally:
+            rt.stop()
+    for p, g in zip(("hello there", "how now"), got):
+        assert g == _sequential(engine, None, p, 6), (p, g)
