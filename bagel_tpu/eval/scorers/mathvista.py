@@ -100,3 +100,88 @@ def mathvista_score(rows: Sequence[dict]) -> Dict:
     for key, table in by.items():
         out[key] = {k: sum(v) / len(v) for k, v in table.items()}
     return out
+
+
+# ---------------------------------------------------------------------------
+# GPT answer-extraction stage (extract_answer.py:24-95): type shortcuts,
+# optional quick regex, then a pluggable judge formatted with the published
+# few-shot demo prompt (prompts/ext_ans.py)
+# ---------------------------------------------------------------------------
+
+# few-shot demos showing "Extracted answer: <x>" for each answer type; pass
+# the canonical prompts/ext_ans.py text via demo_prompt= for byte parity
+DEFAULT_DEMO_PROMPT = """\
+Please read the following example. Then extract the answer from the model \
+response and type it at the end of the prompt.
+
+Hint: Please answer the question requiring an integer answer and provide \
+the final value at the end.
+Question: Which number is missing?
+
+Model response: The number missing in the sequence is 14.
+
+Extracted answer: 14
+
+Hint: Please answer the question with a multiple-choice letter and provide \
+the letter at the end.
+Question: What is the shape shown? Choices: (A) circle (B) square
+
+Model response: The shape is a square.
+
+Extracted answer: (B) square"""
+
+
+def _final_answer(text: str) -> str:
+    m = re.search(r"(Final answer:|Answer:)\s*(.*)", text, re.IGNORECASE)
+    return m.group(2).strip() if m else text
+
+
+def create_test_prompt(demo_prompt: str, query: str, response: str) -> str:
+    """extract_answer.py:31-35."""
+    return (f"{demo_prompt.strip()}\n\n{query}\n\n{response}"
+            "\n\nExtracted answer: ")
+
+
+def extract_answer_with_judge(
+    response: str,
+    problem: dict,
+    judge=None,
+    quick_extract: bool = False,
+    demo_prompt: str = DEFAULT_DEMO_PROMPT,
+) -> str:
+    """Extraction cascade (extract_answer.py:45-95): verbatim-choice and
+    int/float shortcuts, optional quick 'Answer:' regex, then the judge
+    (judge(prompt, []) -> extracted text); '' when nothing applies and no
+    judge is available."""
+    question_type = problem.get("question_type")
+    answer_type = problem.get("answer_type")
+    choices = problem.get("choices") or []
+    if response == "":
+        return ""
+    if question_type == "multi_choice" and response in choices:
+        return response
+    if answer_type == "integer":
+        try:
+            return str(int(response))
+        except (TypeError, ValueError):
+            pass
+    if answer_type == "float":
+        try:
+            return str(float(response))
+        except (TypeError, ValueError):
+            pass
+    if quick_extract:
+        try:
+            return _final_answer(response)
+        except Exception:
+            pass
+    if judge is not None:
+        try:
+            return judge(
+                create_test_prompt(demo_prompt, problem.get("query", ""),
+                                   response),
+                [],
+            ).strip()
+        except Exception:
+            return ""
+    return ""

@@ -161,3 +161,71 @@ def mmmu_accuracy(samples: Sequence[dict]) -> dict:
         if total else 0.0
     )
     return {"subjects": subjects, "overall_acc": overall, "num_example": total}
+
+
+# ---------------------------------------------------------------------------
+# CoT variant + published domain table (evaluate_mmmu_cot.py,
+# main_eval_only.py, data_utils.py:20-62)
+# ---------------------------------------------------------------------------
+
+DOMAIN_CAT2SUB_CAT = {
+    "Art and Design": ["Art", "Art_Theory", "Design", "Music"],
+    "Business": ["Accounting", "Economics", "Finance", "Manage", "Marketing"],
+    "Science": ["Biology", "Chemistry", "Geography", "Math", "Physics"],
+    "Health and Medicine": [
+        "Basic_Medical_Science", "Clinical_Medicine",
+        "Diagnostics_and_Laboratory_Medicine", "Pharmacy", "Public_Health",
+    ],
+    "Humanities and Social Science": [
+        "History", "Literature", "Sociology", "Psychology",
+    ],
+    "Tech and Engineering": [
+        "Agriculture", "Architecture_and_Engineering", "Computer_Science",
+        "Electronics", "Energy_and_Power", "Materials",
+        "Mechanical_Engineering",
+    ],
+}
+
+# the CoT run instructs "Final Answer: <answer>" after optional
+# <think></think> reasoning (evaluate_mmmu_cot.py:49-67)
+_THINK_RE = re.compile(r"<think>.*?</think>", re.DOTALL)
+_FINAL_RE = re.compile(r"final\s+answer\s*[:：]\s*(.*)", re.IGNORECASE)
+
+
+def extract_cot_answer(response: str) -> str:
+    """Strip the <think> block and return the text after 'Final Answer:'
+    (falling back to the whole remainder when the model skipped the
+    format) — the CoT preprocessing before the standard parsers."""
+    text = _THINK_RE.sub("", response).strip()
+    m = _FINAL_RE.search(text)
+    return m.group(1).strip() if m else text
+
+
+def subject_of_data_id(data_id: str) -> str:
+    """'validation_Computer_Science_12' -> 'Computer_Science'
+    (main_eval_only.py:35)."""
+    return "_".join(data_id.split("_")[1:-1])
+
+
+def mmmu_domain_table(samples: Sequence[dict]) -> dict:
+    """Published printable table: per-subject rows, 'Overall-<domain>'
+    instruction-level rows, and Overall (main_eval_only.py:75-116).
+
+    samples as mmmu_accuracy, with 'subject' set (use subject_of_data_id
+    for raw data_ids; extract_cot_answer + the parse_* functions for CoT
+    responses)."""
+    base = mmmu_accuracy(samples)
+    table = {}
+    for domain, cats in DOMAIN_CAT2SUB_CAT.items():
+        rows = {c: base["subjects"][c] for c in cats
+                if c in base["subjects"]}
+        if not rows:
+            continue
+        num = sum(r["num_example"] for r in rows.values())
+        acc = sum(r["acc"] * r["num_example"] for r in rows.values()) / num
+        table[f"Overall-{domain}"] = {"num": num, "acc": round(acc, 3)}
+        for c, r in rows.items():
+            table[c] = {"num": r["num_example"], "acc": round(r["acc"], 3)}
+    table["Overall"] = {"num": base["num_example"],
+                        "acc": round(base["overall_acc"], 3)}
+    return table

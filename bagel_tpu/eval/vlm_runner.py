@@ -277,6 +277,61 @@ def score_pope(results: List[dict]) -> Dict:
     ])
 
 
+def score_mmmu_cot(results: List[dict], judge=None) -> Dict:
+    """MMMU CoT run: strip <think> blocks / take the 'Final Answer:' tail,
+    then the standard parsers, aggregated into the published per-domain
+    table (evaluate_mmmu_cot.py + main_eval_only.py)."""
+    from bagel_tpu.eval.scorers.mmmu import (
+        extract_cot_answer,
+        mmmu_domain_table,
+        parse_multi_choice_response,
+        parse_open_response,
+        subject_of_data_id,
+    )
+
+    samples = []
+    for r in results:
+        text = extract_cot_answer(r["prediction"] or "")
+        opts = r.get("options")
+        if opts:
+            qtype = "multiple-choice"
+            pred = parse_multi_choice_response(text, list(opts.keys()), opts)
+        else:
+            qtype = "open"
+            pred = parse_open_response(text)
+        subject = r.get("category") or subject_of_data_id(str(r["index"]))
+        samples.append({
+            "id": r["index"], "subject": subject, "question_type": qtype,
+            "answer": r["answer"], "parsed_pred": pred,
+        })
+    return mmmu_domain_table(samples)
+
+
+def score_mathvista(results: List[dict], judge=None) -> Dict:
+    """Full MathVista pipeline: the extraction cascade (type shortcuts ->
+    quick regex -> optional GPT judge, extract_answer.py) feeding
+    normalize + the published accuracy tables (calculate_score.py)."""
+    from bagel_tpu.eval.scorers.mathvista import (
+        extract_answer_with_judge,
+        mathvista_score,
+    )
+
+    rows = []
+    for r in results:
+        problem = {
+            "question_type": r.get("question_type", ""),
+            "answer_type": r.get("answer_type", ""),
+            "choices": r.get("choices") or [],
+            "query": r.get("question", ""),
+        }
+        extraction = extract_answer_with_judge(
+            r["prediction"] or "", problem, judge=judge,
+            quick_extract=judge is None,
+        )
+        rows.append({**r, "extraction": extraction})
+    return mathvista_score(rows)
+
+
 SCORERS = {
     "yesno": score_yesno,
     "choice": score_choice,
@@ -284,9 +339,12 @@ SCORERS = {
     "numeric": score_numeric,
     "mme": score_mme,
     "mmmu": score_mmmu,
+    "mmmu_cot": score_mmmu_cot,
+    "mathvista": score_mathvista,
     "mmbench": score_mmbench,
     "pope": score_pope,
 }
+_JUDGE_SCORERS = {"mmmu_cot", "mathvista"}
 
 
 def main(argv=None):
@@ -307,6 +365,10 @@ def main(argv=None):
                    choices=[None, "int8", "w8a8", "int4", "nf4"],
                    help="serve the eval model quantized (serving/app.py "
                         "--quant semantics)")
+    p.add_argument("--judge", type=str, default=None,
+                   help="pkg.module:function judge callable for the "
+                        "GPT-extraction scorers (mathvista); offline "
+                        "regex fallbacks apply without it")
     args = p.parse_args(argv)
 
     if args.think and args.batch_size > 1:
@@ -344,7 +406,16 @@ def main(argv=None):
             for r in results:
                 f.write(json.dumps(r) + "\n")
     if args.score:
-        scores = SCORERS[args.score](results)
+        if args.score in _JUDGE_SCORERS:
+            judge = None
+            if args.judge:
+                import importlib
+
+                mod, _, fn = args.judge.partition(":")
+                judge = getattr(importlib.import_module(mod), fn)
+            scores = SCORERS[args.score](results, judge=judge)
+        else:
+            scores = SCORERS[args.score](results)
         with open(args.out + ".scores.json", "w") as f:
             json.dump(scores, f, indent=2, default=str)
         print(json.dumps(scores, indent=2, default=str))

@@ -13,3 +13,8 @@ python -m bagel_tpu.eval.gen_runner \
   --cfg_text_scale 4.0 --cfg_img_scale 2.0 --cfg_renorm_type text_channel \
   --cfg_interval_min 0.0 \
   --num_timesteps 50 --timestep_shift 3.0 --max_latent_size 64 "$@"
+
+# Scoring (after generation; needs an external GPT judge callable):
+#   python -m bagel_tpu.eval.judge_scorer kris \
+#     --bench_dir KRIS_Bench --results_dir "$OUTDIR" \
+#     --judge my_judges:gpt4o --out "$OUTDIR/scores"

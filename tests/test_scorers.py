@@ -411,3 +411,358 @@ def test_mathvista_normalization_and_score():
     assert out["accuracy"] == 0.5
     assert out["task"]["vqa"] == 0.5
     assert out["skills"]["arith"] == 0.0 and out["skills"]["logic"] == 0.5
+
+
+# ---------------------------------------------------------------------------
+# KRIS-Bench (eval/gen/kris/{metrics_*,summarize}.py)
+# ---------------------------------------------------------------------------
+
+
+def test_kris_extraction():
+    from bagel_tpu.eval.scorers.kris import (
+        extract_consistency, extract_dual_scores, extract_instruction,
+        extract_quality,
+    )
+
+    # JSON-form responses
+    s, r = extract_consistency('{"consistency_score": 4, "reason": "ok"}')
+    assert (s, r) == (4, "ok")
+    s, r = extract_instruction('text {"instruction_score": 5, "reasoning": "x"} tail')
+    assert (s, r) == (5, "x")
+    s, _ = extract_quality("quality_score: 3")
+    assert s == 3
+    # regex fallbacks
+    s, r = extract_consistency("I rate this 2/5 overall")
+    assert (s, r) == (2, None)
+    # dual: whole-JSON, block, regex
+    d = extract_dual_scores(
+        '{"instruction_score": 3, "knowledge_score": 4,'
+        ' "instruction_reasoning": "a", "knowledge_reasoning": "b"}'
+    )
+    assert d["instruction_score"] == 3 and d["knowledge_score"] == 4
+    d = extract_dual_scores("instruction_score: 2 and knowledge_score: 5")
+    assert d["instruction_score"] == 2 and d["knowledge_score"] == 5
+    assert extract_dual_scores("nothing here")["instruction_score"] is None
+
+
+def test_kris_metric_routing_and_judge_calls():
+    from bagel_tpu.eval.scorers.kris import evaluate_sample, metrics_for_category
+
+    assert metrics_for_category("color_change") == [
+        "consistency", "instruction_following", "image_quality"]
+    assert metrics_for_category("chemistry") == [
+        "consistency", "dual_score", "image_quality"]
+
+    calls = []
+
+    def judge(prompt, images):
+        calls.append((prompt, tuple(images)))
+        if "knowledge_score" in prompt:
+            return '{"instruction_score": 4, "knowledge_score": 3}'
+        if "instruction_score" in prompt:
+            return '{"instruction_score": 5, "reasoning": "r"}'
+        if "quality" in prompt:
+            return '{"quality_score": 2, "reasoning": "q"}'
+        return '{"consistency_score": 1, "reason": "c"}'
+
+    out = evaluate_sample(judge, "chemistry", "make it rust", "oxidation",
+                          "orig.png", "edit.png")
+    assert out["consistency_score"] == 1
+    assert out["instruction_score"] == 4
+    assert out["knowledge_score"] == 3
+    assert out["quality_score"] == 2
+    # consistency & dual see [orig, edit]; quality sees [edit] only
+    assert calls[0][1] == ("orig.png", "edit.png")
+    assert calls[1][1] == ("orig.png", "edit.png")
+    assert calls[2][1] == ("edit.png",)
+
+    # anomaly correction routes to the abnormal prompt (with explanation)
+    calls.clear()
+    out = evaluate_sample(judge, "anomaly_correction", "fix it", "why",
+                          "o.png", "e.png")
+    assert any("why" in p for p, _ in calls)
+
+
+def test_kris_summarize_published_tables():
+    """Known aggregate: hand-computable normalized category/meta/overall."""
+    from bagel_tpu.eval.scorers.kris import summarize
+
+    per_cat = {
+        # Attribute Perception (no knowledge metric)
+        "color_change": {
+            "1": {"consistency_score": 5, "quality_score": 3,
+                  "instruction_score": 1},
+            "2": {"consistency_score": 3, "quality_score": None,
+                  "instruction_score": 5},
+        },
+        # Natural Science (knowledge metric present)
+        "physics": {
+            "1": {"consistency_score": 5, "quality_score": 5,
+                  "instruction_score": 5, "knowledge_score": 1},
+        },
+    }
+    out = summarize(per_cat)
+    ap = out["summary"]["Attribute Perception"]
+    # normalized: (s-1)*25 -> VC mean of (100, 50)=75; IF mean of (0,100)=50
+    assert ap["VC"] == 75 and ap["IF"] == 50 and ap["VQ"] == 50
+    # AVG over all 5 non-None normalized values: (100+50+0+50+100)/5
+    assert ap["AVG"] == 60
+    ns = out["summary"]["Natural Science"]
+    assert ns["KP"] == 0 and ns["AVG"] == 75
+    # meta category: Conceptual Knowledge = Natural+Social flat values
+    assert out["summary"]["Conceptual Knowledge"]["AVG"] == 75
+    # overall = all 9 values
+    assert abs(out["summary"]["Overall"]["AVG"] - (300 + 300) / 9) < 1e-9
+    assert out["subitems"]["Attribute Perception"]["color_change"]["VC"] == 75
+
+
+def test_kris_score_results_resumable(tmp_path):
+    from bagel_tpu.eval.scorers.kris import score_results
+
+    anns = {"color_change": {
+        "7": {"ins_en": "paint it red", "explain_en": ""}}}
+    n_calls = [0]
+
+    def judge(prompt, images):
+        n_calls[0] += 1
+        if "instruction_score" in prompt:
+            return '{"instruction_score": 5, "reasoning": "r"}'
+        if "quality" in prompt:
+            return '{"quality_score": 5, "reasoning": "q"}'
+        return '{"consistency_score": 5, "reason": "c"}'
+
+    out_path = str(tmp_path / "kris")
+    kw = dict(
+        judge=judge,
+        image_of=lambda c, i: f"{c}/{i}.png",
+        orig_of=lambda c, i: f"orig/{c}/{i}.png",
+        out_path=out_path,
+    )
+    out1 = score_results(anns, **kw)
+    assert out1["summary"]["Overall"]["AVG"] == 100
+    first_calls = n_calls[0]
+    out2 = score_results(anns, **kw)  # resumes: zero new judge calls
+    assert n_calls[0] == first_calls
+    assert out2["summary"] == out1["summary"]
+
+
+# ---------------------------------------------------------------------------
+# RISEBench (eval/gen/rise/gpt_eval.py)
+# ---------------------------------------------------------------------------
+
+
+def test_rise_extract_final_scores():
+    from bagel_tpu.eval.scorers.rise import extract_final_scores
+
+    assert extract_final_scores("blah\n**Final Score**: 4") == [4]
+    assert extract_final_scores("Final Score: 3, 5") == [3, 5]
+    assert extract_final_scores("**Final Scores**:\n2 4") == [2, 4]
+    assert extract_final_scores("no verdict") is None
+
+
+def test_rise_assemble_and_score():
+    from bagel_tpu.eval.scorers.rise import (
+        assemble_scores, sample_complete, sample_score,
+    )
+
+    # three-judge category
+    s = assemble_scores("causal_reasoning", "Final Score: 5",
+                        "Final Score: 5", "Final Score: 5")
+    assert s == {"ApprConsistency": 5, "Reasoning": 5,
+                 "VisualPlausibility": 5}
+    assert sample_score("causal_reasoning", s) == 5.0
+    assert sample_complete("causal_reasoning", s) == 1
+
+    # weighted: 0.3*3 + 0.5*4 + 0.2*5 = 3.9
+    s = {"ApprConsistency": 3, "Reasoning": 4, "VisualPlausibility": 5}
+    assert abs(sample_score("causal_reasoning", s) - 3.9) < 1e-9
+    assert sample_complete("causal_reasoning", s) == 0
+
+    # Reasoning==1 halves the score with a floor of 1
+    s = {"ApprConsistency": 5, "Reasoning": 1, "VisualPlausibility": 5}
+    got = sample_score("causal_reasoning", s)
+    assert abs(got - max(1, (0.3 * 5 + 0.5 * 1 + 0.2 * 5) * 0.5)) < 1e-9
+
+    # logical (two-judge) remap: 0/1 judgments -> 1..5
+    s = assemble_scores("logical_reasoning", "Final Score: 1",
+                        "Final Score: 0", None)
+    assert s == {"ApprConsistency": 5, "Reasoning": 1,
+                 "VisualPlausibility": None}
+    # 0.3*5 + 0.7*1 = 2.2, then halved (Reasoning==1) -> 1.1
+    assert abs(sample_score("logical_reasoning", s) - 1.1) < 1e-9
+
+    # extraction failure -> None row
+    assert assemble_scores("causal_reasoning", "??", "Final Score: 5",
+                           "Final Score: 5") is None
+
+
+def test_rise_plan_judges():
+    from bagel_tpu.eval.scorers.rise import plan_judges
+
+    p = plan_judges({"category": "temporal_reasoning"})
+    assert p["consistency"] and p["quality"]
+    assert p["prompt_keys"]["reasoning"] == "reasoning"
+
+    p = plan_judges({"category": "spatial_reasoning", "reference_img": "x"})
+    assert p["reasoning_with_input"]
+    assert p["prompt_keys"]["reasoning"] == "spatial_ref_img"
+
+    p = plan_judges({"category": "logical_reasoning", "reference_txt": "42"})
+    assert not p["quality"]
+    assert p["prompt_keys"] == {"consistency": "logical_cons_ans",
+                                "reasoning": "logical_txt"}
+
+    p = plan_judges({"category": "causal_reasoning",
+                     "consistency_free": True})
+    assert not p["consistency"]
+
+
+def test_rise_summarize_accuracy():
+    from bagel_tpu.eval.scorers.rise import summarize
+
+    perfect = {"ApprConsistency": 5, "Reasoning": 5, "VisualPlausibility": 5}
+    partial = {"ApprConsistency": 3, "Reasoning": 4, "VisualPlausibility": 5}
+    rows = [
+        {"category": "causal_reasoning", "subtask": "State Transition",
+         "scores": perfect},
+        {"category": "causal_reasoning", "subtask": "State Transition",
+         "scores": partial},
+        {"category": "temporal_reasoning", "subtask": "Life Progression",
+         "scores": None},  # judge failed
+    ]
+    out = summarize(rows)
+    assert out["overall"]["accuracy"] == 0.5
+    assert out["n_failed"] == 1
+    st = out["subtasks"]["State Transition"]
+    assert abs(st["score"] - (5.0 + 3.9) / 2) < 1e-9
+    assert abs(st["score_percent"] - 25 * ((5.0 + 3.9) / 2 - 1)) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# ImgEdit-Bench (eval/gen/imgedit/*)
+# ---------------------------------------------------------------------------
+
+
+def test_imgedit_average_and_typescore():
+    from bagel_tpu.eval.scorers.imgedit import (
+        compute_averages, compute_edit_type_averages,
+        extract_scores_and_average,
+    )
+
+    resp = "Instruction: 4\nQuality: 2\nConsistency: 3\nnot a score line"
+    assert extract_scores_and_average(resp) == 3.0
+    assert extract_scores_and_average("no scores at all") is None
+
+    avgs = compute_averages({"a": resp, "b": "x: 5\ny: 5", "c": "garbage"})
+    assert avgs == {"a": 3.0, "b": 5.0}
+
+    meta = {"a": {"edit_type": "replace"}, "b": {"edit_type": "add"}}
+    table = compute_edit_type_averages(avgs, meta)
+    assert table == {"replace": 3.0, "add": 5.0, "overall": 4.0}
+
+
+def test_imgedit_pipeline_resumable(tmp_path):
+    from bagel_tpu.eval.scorers.imgedit import score_results
+
+    meta = {
+        "k1": {"edit_type": "replace", "prompt": "swap the cat for a dog"},
+        "k2": {"edit_type": "adjust", "prompt": "make it night"},
+    }
+    prompts = {
+        "replace": "Judge this replacement: <edit_prompt>. Reply lines.",
+        "adjust": "Judge this adjustment: <edit_prompt>. Reply lines.",
+    }
+    n = [0]
+
+    def judge(prompt, images):
+        n[0] += 1
+        assert "<edit_prompt>" not in prompt
+        assert len(images) == 2
+        return "Instruction: 4\nQuality: 4"
+
+    out_path = str(tmp_path / "imgedit.jsonl")
+    kw = dict(
+        prompts=prompts, judge=judge,
+        origin_of=lambda k, it: f"orig/{k}.png",
+        result_of=lambda k, it: f"out/{k}.png",
+        out_path=out_path,
+    )
+    out1 = score_results(meta, **kw)
+    assert out1["by_type"] == {"replace": 4.0, "adjust": 4.0, "overall": 4.0}
+    assert n[0] == 2
+    out2 = score_results(meta, **kw)  # resume: no new judge calls
+    assert n[0] == 2
+    assert out2["by_type"] == out1["by_type"]
+
+
+# ---------------------------------------------------------------------------
+# MMMU CoT + domain table; MathVista judge extraction
+# ---------------------------------------------------------------------------
+
+
+def test_mmmu_cot_extraction_and_domain_table():
+    from bagel_tpu.eval.scorers.mmmu import (
+        extract_cot_answer, mmmu_domain_table, subject_of_data_id,
+    )
+
+    assert extract_cot_answer("<think>steps...</think> Final Answer: C") == "C"
+    assert extract_cot_answer("Final answer: 42 meters") == "42 meters"
+    assert extract_cot_answer("just B") == "just B"
+    assert subject_of_data_id("validation_Computer_Science_12") == \
+        "Computer_Science"
+
+    samples = [
+        {"id": "1", "subject": "Art", "question_type": "multiple-choice",
+         "answer": "A", "parsed_pred": "A"},
+        {"id": "2", "subject": "Art", "question_type": "multiple-choice",
+         "answer": "B", "parsed_pred": "A"},
+        {"id": "3", "subject": "Design", "question_type": "multiple-choice",
+         "answer": "C", "parsed_pred": "C"},
+        {"id": "4", "subject": "Biology", "question_type": "multiple-choice",
+         "answer": "D", "parsed_pred": "D"},
+    ]
+    table = mmmu_domain_table(samples)
+    # Art 1/2, Design 1/1 -> domain instruction-level (1+1)/3
+    assert table["Overall-Art and Design"] == {"num": 3, "acc": 0.667}
+    assert table["Art"] == {"num": 2, "acc": 0.5}
+    assert table["Overall-Science"] == {"num": 1, "acc": 1.0}
+    assert table["Overall"] == {"num": 4, "acc": 0.75}
+
+
+def test_mathvista_judge_extraction():
+    from bagel_tpu.eval.scorers.mathvista import extract_answer_with_judge
+
+    # type shortcuts bypass the judge entirely
+    assert extract_answer_with_judge(
+        "3", {"answer_type": "integer"}, judge=None) == "3"
+    assert extract_answer_with_judge(
+        "2.5", {"answer_type": "float"}, judge=None) == "2.5"
+    assert extract_answer_with_judge(
+        "square", {"question_type": "multi_choice",
+                   "choices": ["circle", "square"]}, judge=None) == "square"
+    # quick extract
+    assert extract_answer_with_judge(
+        "Reasoning... Answer: 7 apples", {"answer_type": "text"},
+        quick_extract=True) == "7 apples"
+
+    # judge path: receives the few-shot prompt with query + response
+    seen = {}
+
+    def judge(prompt, images):
+        seen["prompt"] = prompt
+        assert images == []
+        return " 14 "
+
+    got = extract_answer_with_judge(
+        "the missing number is fourteen",
+        {"answer_type": "text", "query": "Which number is missing?"},
+        judge=judge,
+    )
+    assert got == "14"
+    assert "Which number is missing?" in seen["prompt"]
+    assert seen["prompt"].endswith("Extracted answer: ")
+    # judge failure degrades to ''
+    def bad(prompt, images):
+        raise RuntimeError("api down")
+    assert extract_answer_with_judge(
+        "foo", {"answer_type": "text"}, judge=bad) == ""
