@@ -577,44 +577,53 @@ class BagelEngine:
 
     def chat_batch(
         self,
-        images: List[Optional[np.ndarray]],
+        images: List[Union[None, np.ndarray, List[np.ndarray]]],
         prompts: List[str],
         max_length: int = 256,
         do_sample: bool = False,
         temperature: float = 1.0,
         rng: Optional[jax.Array] = None,
     ) -> List[str]:
-        """Answer B (image, prompt) pairs in one batched prefill + decode.
+        """Answer B (images, prompt) pairs in one batched prefill + decode.
 
-        Rows without an image pass None. Per-row KV lengths and rope
-        positions ride the engine's ragged-batch machinery (per-row valid
-        lengths + append-only cache), so mixed image sizes and prompt
-        lengths batch together.
+        Each row passes None, one image, or a LIST of images (the
+        reference's interleaved chat allows multiple images per session,
+        bagel.py:1004-1055). Every image is its own non-causal block
+        [start, end, vit tokens...] and advances that row's rope by 1;
+        mixed image counts batch via per-row valid lengths — rows with
+        fewer images sit out the later image rounds.
         """
         b = len(prompts)
         assert len(images) == b
+        per_row_imgs: List[List[np.ndarray]] = [
+            [] if im is None else ([im] if isinstance(im, np.ndarray) else list(im))
+            for im in images
+        ]
         cache = kv_cache_init(self.cfg.llm, b, self.max_kv, self.cache_dtype)
         kv_len = np.zeros(b, np.int64)
         rope = np.zeros(b, np.int64)
         boundary = self._boundary_ids()
 
-        # --- image blocks: [start, end, vit_tokens..., pad] per row --------
-        have_img = [i for i, im in enumerate(images) if im is not None]
-        if have_img:
+        max_rounds = max((len(x) for x in per_row_imgs), default=0)
+        if max_rounds:
             patch = self.cfg.vit.patch_size
-            per_row = {}
+            # encode ALL images of all rows in one packed ViT pass
+            per_img = {}  # (row, round) -> (offset, n)
             all_patches, all_pos, all_seg = [], [], []
             tok_offset = 0
-            for seg, i in enumerate(have_img, start=1):
-                img = self._crop_to_multiple(images[i], patch)
-                patches, pos, _, _ = self._prep_image_tokens(
-                    img, patch, self.cfg.vit_max_num_patch_per_side
-                )
-                per_row[i] = (tok_offset, patches.shape[0])
-                tok_offset += patches.shape[0]
-                all_patches.append(patches)
-                all_pos.append(pos)
-                all_seg.append(np.full(patches.shape[0], seg, np.int32))
+            seg = 0
+            for i, imgs in enumerate(per_row_imgs):
+                for k, im in enumerate(imgs):
+                    seg += 1
+                    img = self._crop_to_multiple(im, patch)
+                    patches, pos, _, _ = self._prep_image_tokens(
+                        img, patch, self.cfg.vit_max_num_patch_per_side
+                    )
+                    per_img[(i, k)] = (tok_offset, patches.shape[0])
+                    tok_offset += patches.shape[0]
+                    all_patches.append(patches)
+                    all_pos.append(pos)
+                    all_seg.append(np.full(patches.shape[0], seg, np.int32))
             flat = np.concatenate(all_patches, 0)
             nb = _bucket(flat.shape[0], 64)
             packed = np.zeros((nb, flat.shape[1]), np.float32)
@@ -629,27 +638,30 @@ class BagelEngine:
                 jnp.asarray(pos_p), jnp.asarray(seg_p),
             )
             tok_emb = qwen2.embed_tokens(self.params["llm"], boundary)
-
-            max_tok = max(n for (_, n) in per_row.values())
-            tb = _bucket(max_tok + 2)
             d = vit_emb.shape[-1]
-            blocks = jnp.zeros((b, tb, d), vit_emb.dtype)
-            valid = np.zeros(b, np.int32)
-            offsets = []
-            for i in have_img:
-                off, n = per_row[i]
-                row = jnp.concatenate(
-                    [tok_emb, vit_emb[off : off + n]], axis=0
+
+            # one batched block-extend per image ROUND: round k prefills the
+            # (k+1)-th image of every row that has one (valid=0 elsewhere)
+            for k in range(max_rounds):
+                rows_k = [i for i in range(b) if len(per_row_imgs[i]) > k]
+                tb = _bucket(max(per_img[(i, k)][1] for i in rows_k) + 2)
+                blocks = jnp.zeros((b, tb, d), vit_emb.dtype)
+                valid = np.zeros(b, np.int32)
+                pos_round = np.zeros((b, tb), np.int32)
+                for i in rows_k:
+                    off, n = per_img[(i, k)]
+                    blocks = blocks.at[i, : n + 2].set(jnp.concatenate(
+                        [tok_emb, vit_emb[off : off + n]], axis=0
+                    ))
+                    valid[i] = n + 2
+                    pos_round[i] = rope[i]  # one shared rope id per image
+                _, cache = _extend_jit(
+                    self.params, self.cfg, cache, blocks,
+                    jnp.asarray(pos_round), jnp.asarray(valid),
+                    causal=False,
                 )
-                blocks = blocks.at[i, : n + 2].set(row)
-                valid[i] = n + 2
-            _, cache = _extend_jit(
-                self.params, self.cfg, cache, blocks,
-                jnp.zeros((b, tb), jnp.int32), jnp.asarray(valid),
-                causal=False,
-            )
-            kv_len += valid
-            rope += (valid > 0).astype(np.int64)
+                kv_len += valid
+                rope += (valid > 0).astype(np.int64)
 
         # --- text blocks, causal, per-row rope offsets ----------------------
         ids_list = [

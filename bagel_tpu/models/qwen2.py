@@ -206,6 +206,74 @@ def init_qwen2_params(
 
 
 # ---------------------------------------------------------------------------
+# Fused projections: one [d, qd+2*kvd] QKV matmul and one [d, 2f] gate-up
+# matmul per expert instead of 3+2 — one weight fetch pipeline, one dispatch
+# and (in w8a8) ONE activation quantization per group. Fusion is a post-load
+# pytree transform so checkpoints/converters keep the canonical per-leaf
+# layout; every weight/scale/bias leaf has the output dim last, so it
+# commutes with all quantization modes.
+# ---------------------------------------------------------------------------
+
+
+def _concat_leaves(leaves: list) -> dict:
+    """Concat matching weight-dict leaves along the output (last) axis."""
+    keys = set(leaves[0])
+    assert all(set(p) == keys for p in leaves), "heterogeneous leaves"
+    return {k: jnp.concatenate([p[k] for p in leaves], axis=-1) for k in keys}
+
+
+def fuse_llm_params(params: dict) -> dict:
+    """Return params with per-attn 'qkv' and per-mlp 'gate_up' fused leaves
+    (originals dropped). Idempotent; leaves bare norms/lm_head untouched."""
+    out = dict(params)
+    layers = dict(params["layers"])
+    for name in list(layers):
+        if name.startswith("attn"):
+            a = dict(layers[name])
+            if "qkv" not in a:
+                q, k, v = a.pop("q"), a.pop("k"), a.pop("v")
+                a["qkv"] = _concat_leaves([q, k, v])
+            layers[name] = a
+        elif name.startswith("mlp"):
+            m = dict(layers[name])
+            if "gate_up" not in m:
+                gate = m.pop("gate")
+                up = m.pop("up")
+                if not isinstance(gate, dict):
+                    gate, up = {"w": gate}, {"w": up}
+                m["gate_up"] = _concat_leaves([gate, up])
+            layers[name] = m
+    out["layers"] = layers
+    return out
+
+
+def _proj_qkv(x, attn, h, kh, hd, precision=None):
+    """(q, k, v) heads from either fused or separate projection leaves.
+    Works for any leading shape ([B, T, d] extend or [S, d] train)."""
+    lead = x.shape[:-1]
+    if "qkv" in attn:
+        qkv = _linear(x, attn["qkv"], precision)
+        q, k, v = jnp.split(qkv, [h * hd, (h + kh) * hd], axis=-1)
+    else:
+        q = _linear(x, attn["q"], precision)
+        k = _linear(x, attn["k"], precision)
+        v = _linear(x, attn["v"], precision)
+    return (q.reshape(lead + (h, hd)), k.reshape(lead + (kh, hd)),
+            v.reshape(lead + (kh, hd)))
+
+
+def _ffn_mix(z, mlp, precision=None):
+    """silu(gate) * up from fused or separate gate/up leaves."""
+    if "gate_up" in mlp:
+        gu = _linear(z, mlp["gate_up"], precision)
+        gate, up = jnp.split(gu, 2, axis=-1)
+    else:
+        gate = _linear(z, mlp["gate"], precision)
+        up = _linear(z, mlp["up"], precision)
+    return jax.nn.silu(gate) * up
+
+
+# ---------------------------------------------------------------------------
 # Layer forward (inference, block-extend over KV cache)
 # ---------------------------------------------------------------------------
 
@@ -261,14 +329,21 @@ def _layer_extend(
         lambda xg: rms_norm(xg, ln_g, cfg.rms_norm_eps),
     )
 
-    def proj(attn, name, width):
-        return lambda xx: _linear(xx, attn[name], precision).reshape(
-            xx.shape[0], xx.shape[1], width, hd
-        )
+    # one fused (or three separate) projection call per expert slice; the
+    # slice layout means each expert's matmuls run only on its own tokens
+    def qkv_of(attn, xx):
+        return _proj_qkv(xx, attn, h, kh, hd, precision)
 
-    q = _split_apply(hqkv, und_len, proj(attn_u, "q", h), proj(attn_g, "q", h))
-    k = _split_apply(hqkv, und_len, proj(attn_u, "k", kh), proj(attn_g, "k", kh))
-    v = _split_apply(hqkv, und_len, proj(attn_u, "v", kh), proj(attn_g, "v", kh))
+    if und_len >= t:
+        q, k, v = qkv_of(attn_u, hqkv)
+    elif und_len <= 0:
+        q, k, v = qkv_of(attn_g, hqkv)
+    else:
+        qu, ku, vu = qkv_of(attn_u, hqkv[:, :und_len])
+        qg, kg, vg = qkv_of(attn_g, hqkv[:, und_len:])
+        q = jnp.concatenate([qu, qg], axis=1)
+        k = jnp.concatenate([ku, kg], axis=1)
+        v = jnp.concatenate([vu, vg], axis=1)
 
     if cfg.qk_norm:
         # fp32 QK-norm (reference keeps this in fp32 on the gen path,
@@ -327,9 +402,7 @@ def _layer_extend(
     def ffn(mlp, pln):
         def f(z):
             z = rms_norm(z, pln, cfg.rms_norm_eps)
-            gate = _linear(z, mlp["gate"], precision)
-            up = _linear(z, mlp["up"], precision)
-            return _linear(jax.nn.silu(gate) * up, mlp["down"], precision)
+            return _linear(_ffn_mix(z, mlp, precision), mlp["down"], precision)
 
         return f
 
@@ -546,10 +619,7 @@ def llm_forward_train(
             y = rms_norm(x, lp["input_ln"], eps)
 
         def qkv(attn):
-            q = _linear(y, attn["q"], precision).reshape(s, h, hd)
-            k = _linear(y, attn["k"], precision).reshape(s, kh, hd)
-            v = _linear(y, attn["v"], precision).reshape(s, kh, hd)
-            return q, k, v
+            return _proj_qkv(y, attn, h, kh, hd, precision)
 
         if mot:
             qu, ku, vu = qkv(attn_u)
@@ -598,9 +668,7 @@ def llm_forward_train(
 
         def ffn(mlp, pln):
             z = rms_norm(x, pln, eps)
-            gate = _linear(z, mlp["gate"], precision)
-            up = _linear(z, mlp["up"], precision)
-            return _linear(jax.nn.silu(gate) * up, mlp["down"], precision)
+            return _linear(_ffn_mix(z, mlp, precision), mlp["down"], precision)
 
         if cfg.use_moe:
             pln_g = lp["post_ln_gen"] if mot else lp["post_ln"]

@@ -47,11 +47,13 @@ def make_mesh(
 # (path regex, PartitionSpec) — first match wins. Paths look like
 # "llm/layers/attn/q/w", "vit/layers/mlp/fc1/b", "llm/embed", ...
 _PARAM_RULES = [
-    # LLM stacked layers: leading L axis unsharded
-    (r"llm/layers/attn(_gen)?/(q|k|v)/w", P(None, "fsdp", "tp")),
-    (r"llm/layers/attn(_gen)?/(q|k|v)/b", P(None, "tp")),
+    # LLM stacked layers: leading L axis unsharded. qkv/gate_up are the
+    # fused projection leaves (models/qwen2.fuse_llm_params) — output dim
+    # last, same spec as their unfused counterparts.
+    (r"llm/layers/attn(_gen)?/(q|k|v|qkv)/w", P(None, "fsdp", "tp")),
+    (r"llm/layers/attn(_gen)?/(q|k|v|qkv)/b", P(None, "tp")),
     (r"llm/layers/attn(_gen)?/o/w", P(None, "tp", "fsdp")),
-    (r"llm/layers/mlp(_gen)?/(gate|up)", P(None, "fsdp", "tp")),
+    (r"llm/layers/mlp(_gen)?/(gate|up|gate_up)", P(None, "fsdp", "tp")),
     (r"llm/layers/mlp(_gen)?/down", P(None, "tp", "fsdp")),
     (r"llm/embed", P("tp", "fsdp")),
     (r"llm/lm_head/w", P("fsdp", "tp")),

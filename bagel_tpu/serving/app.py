@@ -54,6 +54,8 @@ def parse_args(argv=None):
                         "int4/nf4 per-group 4-bit (bnb NF4/INT8 parity, "
                         "app.py:114-131)")
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--no_fuse", action="store_true",
+                   help="disable the fused QKV / gate-up projections")
     return p.parse_args(argv)
 
 
@@ -93,6 +95,14 @@ def build_engine(args):
         from bagel_tpu.utils.quant import quantize_bagel_params
 
         params = quantize_bagel_params(params, args.quant)
+
+    if not getattr(args, "no_fuse", False):
+        # fused QKV / gate-up projections: fewer dispatches and (for w8a8)
+        # one activation quant per group; applied post-quant so the leaves
+        # concat with their per-output-channel scales
+        from bagel_tpu.models.qwen2 import fuse_llm_params
+
+        params["llm"] = fuse_llm_params(params["llm"])
 
     if args.mesh:
         from bagel_tpu.parallel import make_mesh, shard_params

@@ -218,36 +218,53 @@ class ServingRuntime:
         )
 
     def _request_widths(self, req: _ChatRequest):
-        """(img_tokens or None, text_tokens) the prefill will write for a
-        request — must mirror _prefill_rows' patch/tokenize math exactly."""
+        """([img_tokens...], text_tokens) the prefill will write for a
+        request — must mirror _prefill_rows' patch/tokenize math exactly.
+        Requests may carry a list of images (interleaved-chat shape)."""
         eng = self.engine
-        img_n = None
-        if req.image is not None:
+        imgs = req.image
+        if imgs is None:
+            imgs = []
+        elif isinstance(imgs, np.ndarray):
+            imgs = [imgs]
+        img_ns = []
+        for im in imgs:
             patch = eng.cfg.vit.patch_size
-            img = eng._crop_to_multiple(req.image, patch)
-            img_n = (img.shape[0] // patch) * (img.shape[1] // patch)
+            img = eng._crop_to_multiple(im, patch)
+            img_ns.append((img.shape[0] // patch) * (img.shape[1] // patch))
         text_n = len(eng.tokenizer.encode(req.prompt)) + 2
-        return img_n, text_n
+        return img_ns, text_n
 
     @staticmethod
-    def _group_blocks(widths):
-        """Shared padded block widths for a batched admission group: the
-        image blocks pad to one bucket, the text blocks to another, and the
-        two prefills write SEQUENTIALLY — a row needs its post-image length
-        plus the full text bucket, not max(image, text)."""
-        img_tb = 0
-        if any(w[0] is not None for w in widths):
-            img_tb = _bucket(max(w[0] for w in widths if w[0] is not None) + 2)
+    def _plan_blocks(widths):
+        """Exact write plan for a batched admission group.
+
+        Each image ROUND and the text stage pad to shared buckets, and
+        every extend writes its padded block into EVERY row at that row's
+        current length (only rows with valid>0 advance) — so the per-row
+        capacity requirement is the high-water mark of length + stage
+        bucket across all stages, with lengths advancing per stage.
+        Returns (round_tbs, text_tb, per_row_need, max_tb)."""
+        n_rounds = max((len(w[0]) for w in widths), default=0)
+        lens = [0] * len(widths)
+        need = [0] * len(widths)
+        round_tbs = []
+        for k in range(n_rounds):
+            tb_k = _bucket(max(w[0][k] for w in widths if len(w[0]) > k) + 2)
+            round_tbs.append(tb_k)
+            for i, w in enumerate(widths):
+                need[i] = max(need[i], lens[i] + tb_k)
+                if len(w[0]) > k:
+                    lens[i] += w[0][k] + 2
         text_tb = _bucket(max(w[1] for w in widths))
-        return img_tb, text_tb
+        for i, w in enumerate(widths):
+            need[i] = max(need[i], lens[i] + text_tb)
+        max_tb = max(round_tbs + [text_tb])
+        return round_tbs, text_tb, need, max_tb
 
     def _group_fits(self, widths, max_kv: int) -> bool:
-        img_tb, text_tb = self._group_blocks(widths)
-        for img_n, _ in widths:
-            after_img = img_n + 2 if img_n is not None else 0
-            if max(img_tb, after_img + text_tb) > max_kv:
-                return False
-        return True
+        _, _, need, _ = self._plan_blocks(widths)
+        return max(need) <= max_kv
 
     def _admit(self):
         """Move queued chat requests into free slots (one batched prefill).
@@ -268,9 +285,9 @@ class ServingRuntime:
                 break
             w = self._request_widths(req)
             if not self._group_fits([w], self.engine.max_kv):
+                need = self._plan_blocks([w])[2][0]
                 req.future.set_error(ValueError(
-                    f"request needs {(w[0] + 2 if w[0] is not None else 0)}"
-                    f"+{_bucket(w[1])} KV tokens but the buffer holds "
+                    f"request needs {need} KV tokens but the buffer holds "
                     f"{self.engine.max_kv}; raise max_kv"
                 ))
                 continue
@@ -308,14 +325,14 @@ class ServingRuntime:
         # to the buffer end for either block write.
         if widths is None:
             widths = [self._request_widths(r) for r in reqs]
-        img_tb, text_tb = self._group_blocks(widths)
+        _, _, _, max_tb = self._plan_blocks(widths)
         lengths = np.asarray(self.cache.length)
         live_max = max(
             (int(lengths[i]) for i, s in enumerate(self.slot_state)
              if s is not None and i not in rows),
             default=0,
         )
-        if live_max + max(img_tb, text_tb) > eng.max_kv:
+        if live_max + max_tb > eng.max_kv:
             raise _Defer()
 
         # reset the admitted rows' cache lengths (their KV rows are dead)
@@ -325,24 +342,35 @@ class ServingRuntime:
         self.cache = dataclasses.replace(self.cache, length=length)
         rope = {i: 0 for i in rows}
 
-        # --- image blocks: [start, end, vit tokens..., pad] per row ---------
-        with_img = [(i, req) for i, req in zip(rows, reqs)
-                    if req.image is not None]
-        if with_img:
+        # --- image blocks: [start, end, vit tokens..., pad], one batched
+        # extend per image ROUND (requests may carry image lists —
+        # interleaved-chat shape; each image advances its row's rope by 1)
+        row_imgs = {}
+        for i, req in zip(rows, reqs):
+            imgs = req.image
+            if imgs is None:
+                imgs = []
+            elif isinstance(imgs, np.ndarray):
+                imgs = [imgs]
+            row_imgs[i] = imgs
+        max_rounds = max((len(v) for v in row_imgs.values()), default=0)
+        if max_rounds:
             patch = cfg.vit.patch_size
             boundary = eng._boundary_ids()
-            per_row, all_p, all_pos, all_seg = {}, [], [], []
-            off = 0
-            for seg, (i, req) in enumerate(with_img, start=1):
-                img = eng._crop_to_multiple(req.image, patch)
-                patches, pos, _, _ = eng._prep_image_tokens(
-                    img, patch, cfg.vit_max_num_patch_per_side
-                )
-                per_row[i] = (off, patches.shape[0])
-                off += patches.shape[0]
-                all_p.append(patches)
-                all_pos.append(pos)
-                all_seg.append(np.full(patches.shape[0], seg, np.int32))
+            per_img, all_p, all_pos, all_seg = {}, [], [], []
+            off = seg = 0
+            for i in rows:
+                for k, im in enumerate(row_imgs[i]):
+                    seg += 1
+                    img = eng._crop_to_multiple(im, patch)
+                    patches, pos, _, _ = eng._prep_image_tokens(
+                        img, patch, cfg.vit_max_num_patch_per_side
+                    )
+                    per_img[(i, k)] = (off, patches.shape[0])
+                    off += patches.shape[0]
+                    all_p.append(patches)
+                    all_pos.append(pos)
+                    all_seg.append(np.full(patches.shape[0], seg, np.int32))
             flat = np.concatenate(all_p, 0)
             nb = _bucket(flat.shape[0], 64)
             packed = np.zeros((nb, flat.shape[1]), np.float32)
@@ -356,21 +384,26 @@ class ServingRuntime:
                 jnp.asarray(pos_p), jnp.asarray(seg_p),
             )
             tok_emb = qwen2.embed_tokens(eng.params["llm"], boundary)
-            tb = _bucket(max(n for _, n in per_row.values()) + 2)
-            blocks = jnp.zeros((b, tb, vit_emb.shape[-1]), vit_emb.dtype)
-            valid = np.zeros(b, np.int32)
-            for i, (o, n) in per_row.items():
-                blocks = blocks.at[i, : n + 2].set(
-                    jnp.concatenate([tok_emb, vit_emb[o : o + n]], axis=0)
+            for k in range(max_rounds):
+                rows_k = [i for i in rows if len(row_imgs[i]) > k]
+                tb = _bucket(max(per_img[(i, k)][1] for i in rows_k) + 2)
+                blocks = jnp.zeros((b, tb, vit_emb.shape[-1]), vit_emb.dtype)
+                valid = np.zeros(b, np.int32)
+                pos_round = np.zeros((b, tb), np.int32)
+                for i in rows_k:
+                    o, n = per_img[(i, k)]
+                    blocks = blocks.at[i, : n + 2].set(jnp.concatenate(
+                        [tok_emb, vit_emb[o : o + n]], axis=0
+                    ))
+                    valid[i] = n + 2
+                    pos_round[i] = rope[i]
+                _, self.cache = _extend_jit(
+                    eng.params, cfg, self.cache, blocks,
+                    jnp.asarray(pos_round), jnp.asarray(valid),
+                    causal=False,
                 )
-                valid[i] = n + 2
-            _, self.cache = _extend_jit(
-                eng.params, cfg, self.cache, blocks,
-                jnp.zeros((b, tb), jnp.int32), jnp.asarray(valid),
-                causal=False,
-            )
-            for i in per_row:
-                rope[i] = 1
+                for i in rows_k:
+                    rope[i] += 1
 
         # --- text blocks, causal ---------------------------------------------
         ids_list = {

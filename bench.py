@@ -37,9 +37,12 @@ FULL_DEPTH = 28  # BAGEL-7B-MoT decoder depth
 
 # Hard wall-clock budget for the whole bench (the driver kills overlong
 # runs): the headline attempt runs first and later attempts are skipped when
-# the remaining budget can't cover them. Children inherit the persistent XLA
-# compilation cache below, so a warmed repo re-benches in minutes.
-BUDGET_S = float(os.environ.get("BAGEL_BENCH_BUDGET_S", "1500"))
+# the remaining budget can't cover them. On this host every fresh process
+# pays a 4-14 min first-execute tax on the tunneled TPU (measured; neither
+# the local XLA compile cache nor any server-side cache avoids it), so the
+# main attempts share ONE child process and the parent parses partial
+# stdout if it must kill the child at the deadline.
+BUDGET_S = float(os.environ.get("BAGEL_BENCH_BUDGET_S", "1800"))
 JAX_CACHE_DIR = os.environ.get(
     "BAGEL_JAX_CACHE", os.path.join(os.path.dirname(__file__), ".jax_cache")
 )
@@ -49,16 +52,6 @@ _T0 = time.monotonic()
 def _remaining(reserve: float = 45.0) -> float:
     """Seconds left in the budget, keeping `reserve` for aggregation."""
     return BUDGET_S - (time.monotonic() - _T0) - reserve
-
-
-def _cache_warm() -> bool:
-    """True when the persistent compile cache already has large entries
-    (a prior bench run compiled the full-depth programs)."""
-    try:
-        entries = os.listdir(JAX_CACHE_DIR)
-    except OSError:
-        return False
-    return sum(1 for e in entries if not e.startswith(".")) >= 2
 
 
 def _honor_platform_env():
@@ -258,6 +251,9 @@ def _build_denoise(depth: int, image: int, dtype_name: str):
                                             mode=dtype_name)
     else:
         params["llm"] = fast_llm_params(llm, dtype, vocab_rows=8, head_cols=8)
+    if os.environ.get("BAGEL_FUSE", "1") == "1":
+        # fused QKV / gate-up: one dispatch + one activation quant per group
+        params["llm"] = qwen2.fuse_llm_params(params["llm"])
 
     down = cfg.latent_downsample  # 16
     h = w = image // down
@@ -402,6 +398,10 @@ def run_decode_bench(depth: int, dtype_name: str, prompt_len: int = 512,
         params = fast_llm_params(cfg, dtype)
     else:
         params = init_qwen2_params(jax.random.PRNGKey(0), cfg, dtype)
+    if os.environ.get("BAGEL_FUSE", "1") == "1":
+        from bagel_tpu.models.qwen2 import fuse_llm_params
+
+        params = fuse_llm_params(params)
     cache = kv_cache_init(cfg, 1, prompt_len + new_tokens + 128, dtype)
     ids = jax.random.randint(jax.random.PRNGKey(1), (1, prompt_len), 0,
                              cfg.vocab_size)
@@ -526,6 +526,10 @@ def run_serving_bench(depth: int, dtype_name: str, slots: int = 8,
 
             params = {"llm": init_qwen2_params(jax.random.PRNGKey(0), llm,
                                                dtype)}
+    if os.environ.get("BAGEL_FUSE", "1") == "1":
+        from bagel_tpu.models.qwen2 import fuse_llm_params
+
+        params["llm"] = fuse_llm_params(params["llm"])
     tok = MockTokenizer(llm.vocab_size)
     eng = BagelEngine(params, cfg, tok, tok.new_token_ids,
                       max_kv=prompt_len + max_new + 256)
@@ -556,47 +560,62 @@ def run_serving_bench(depth: int, dtype_name: str, slots: int = 8,
 
 
 def _child_main(args):
-    """One attempt in a fresh process (avoids HBM fragmentation and compile
-    interference between attempts)."""
+    """One or more attempts in a fresh process. Results print (flushed) as
+    they land so the parent can harvest partial output at its deadline."""
     _honor_platform_env()
     _enable_compile_cache()
     if args.mode == "decode":
         tok_s = run_decode_bench(args.depth, args.dtype)
-        print(f"DECODE {tok_s}")
+        print(f"DECODE {tok_s}", flush=True)
         return
     if args.mode == "train":
         step_s, tokens = run_train_bench(args.depth, args.dtype)
-        print(f"TRAIN {step_s} {tokens}")
+        print(f"TRAIN {step_s} {tokens}", flush=True)
         return
     if args.mode == "serve":
         tok_s, total, elapsed = run_serving_bench(args.depth, args.dtype,
                                                   slots=args.slots)
-        print(f"SERVE {tok_s} {total} {elapsed} {args.slots}")
+        print(f"SERVE {tok_s} {total} {elapsed} {args.slots}", flush=True)
+        return
+    if args.mode == "main":
+        # the whole main TPU sequence in ONE process: headline w8a8
+        # full-depth denoise, then decode, then the serving runtime — each
+        # phase frees its params before the next (HBM) and failures degrade
+        # to the next phase instead of killing the run
+        import gc
+
+        try:
+            elapsed, detail = run_denoise_production(
+                FULL_DEPTH, args.image, args.steps, "w8a8"
+            )
+            print(f"ELAPSED {elapsed}", flush=True)
+            print(f"DETAIL {json.dumps(detail)}", flush=True)
+        except Exception as e:
+            print(f"# main denoise failed: {e!r}", file=sys.stderr, flush=True)
+        gc.collect()
+        try:
+            tok_s = run_decode_bench(FULL_DEPTH, "w8a8")
+            print(f"DECODE {tok_s}", flush=True)
+        except Exception as e:
+            print(f"# main decode failed: {e!r}", file=sys.stderr, flush=True)
+        gc.collect()
+        try:
+            tok_s, total, elapsed = run_serving_bench(
+                FULL_DEPTH, "w8a8", slots=args.slots
+            )
+            print(f"SERVE {tok_s} {total} {elapsed} {args.slots}", flush=True)
+        except Exception as e:
+            print(f"# main serve failed: {e!r}", file=sys.stderr, flush=True)
         return
     fn = run_denoise_naive if args.schedule == "naive" else run_denoise_production
     elapsed, detail = fn(args.depth, args.image, args.steps, args.dtype)
-    print(f"ELAPSED {elapsed}")
-    print(f"DETAIL {json.dumps(detail)}")
+    print(f"ELAPSED {elapsed}", flush=True)
+    print(f"DETAIL {json.dumps(detail)}", flush=True)
 
 
-def _spawn(mode, depth, dtype, image, steps, schedule, timeout, slots=8):
-    import subprocess
-
-    timeout = min(timeout, max(_remaining(), 1.0))
-    cmd = [sys.executable, __file__, "--mode", mode, "--depth", str(depth),
-           "--dtype", dtype, "--image", str(image), "--steps", str(steps),
-           "--schedule", schedule, "--slots", str(slots)]
-    t0 = time.monotonic()
-    try:
-        proc = subprocess.run(cmd, capture_output=True, text=True,
-                              timeout=timeout)
-    except subprocess.TimeoutExpired:
-        print(f"# {mode} depth {depth}/{dtype} timed out after "
-              f"{time.monotonic() - t0:.0f}s (cap {timeout:.0f}s)",
-              file=sys.stderr)
-        return None
+def _parse_child_stdout(stdout: str) -> dict:
     out = {}
-    for line in proc.stdout.splitlines():
+    for line in (stdout or "").splitlines():
         if line.startswith("ELAPSED "):
             out["elapsed"] = float(line.split()[1])
         elif line.startswith("DECODE "):
@@ -612,11 +631,46 @@ def _spawn(mode, depth, dtype, image, steps, schedule, timeout, slots=8):
             out["serve_slots"] = int(parts[4])
         elif line.startswith("DETAIL "):
             out["detail"] = json.loads(line[len("DETAIL "):])
+    return out
+
+
+def _spawn(mode, depth, dtype, image, steps, schedule, timeout, slots=8):
+    """Run one child attempt. On deadline the child is killed and whatever
+    results it already printed are harvested (TimeoutExpired carries the
+    partial stdout) — a killed multi-attempt child still contributes its
+    finished phases."""
+    import subprocess
+
+    timeout = min(timeout, max(_remaining(), 1.0))
+    cmd = [sys.executable, __file__, "--mode", mode, "--depth", str(depth),
+           "--dtype", dtype, "--image", str(image), "--steps", str(steps),
+           "--schedule", schedule, "--slots", str(slots)]
+    t0 = time.monotonic()
+    partial = False
+    try:
+        proc = subprocess.run(cmd, capture_output=True, text=True,
+                              timeout=timeout)
+        stdout, stderr = proc.stdout, proc.stderr
+    except subprocess.TimeoutExpired as e:
+        print(f"# {mode} depth {depth}/{dtype} hit deadline after "
+              f"{time.monotonic() - t0:.0f}s (cap {timeout:.0f}s); "
+              "harvesting partial output", file=sys.stderr)
+
+        def _txt(x):
+            return x.decode(errors="replace") if isinstance(x, bytes) else (x or "")
+
+        stdout, stderr = _txt(e.stdout), _txt(e.stderr)
+        partial = True
+    out = _parse_child_stdout(stdout)
     if not out:
-        tail = "\n".join(proc.stderr.splitlines()[-5:])
-        print(f"# {mode} depth {depth}/{dtype} failed:\n{tail}", file=sys.stderr)
+        tail = "\n".join((stderr or "").splitlines()[-5:])
+        print(f"# {mode} depth {depth}/{dtype} "
+              f"{'timed out' if partial else 'failed'}:\n{tail}",
+              file=sys.stderr)
         return None
     out["wall_s"] = round(time.monotonic() - t0, 1)
+    if partial:
+        out["partial"] = True
     return out
 
 
@@ -626,7 +680,7 @@ def main():
     ap.add_argument("--steps", type=int, default=None)
     ap.add_argument("--image", type=int, default=None)
     ap.add_argument("--mode", default=None,
-                    choices=[None, "denoise", "decode", "train", "serve"],
+                    choices=[None, "denoise", "decode", "train", "serve", "main"],
                     help="internal: child runs one attempt and prints raw numbers")
     ap.add_argument("--slots", type=int, default=8,
                     help="serving-runtime bench slot count")
@@ -655,6 +709,7 @@ def main():
         quant_denoise, quant_decode = {}, {}
         train_point = None
         serve_point = None
+        qdetail = {}
         try:
             decode_points = [(2, run_decode_bench(2, "fp32", prompt_len=32,
                                                   new_tokens=4))]
@@ -676,7 +731,25 @@ def main():
         decode_points = []
         train_point = None
         serve_point = None
-        warm = _cache_warm()
+        qdetail = {}
+
+        # ---- main combined attempt: headline w8a8 full-depth denoise, then
+        # decode, then the serving runtime, in ONE child (one per-process
+        # TPU-session tax). Deadline leaves ~30% of the budget for a bf16
+        # fallback headline if the denoise itself never lands; a child
+        # killed mid-sequence still contributes its finished phases via
+        # partial-stdout harvesting.
+        main_cap = max(_remaining() * 0.7, _remaining() - 900)
+        r = _spawn("main", FULL_DEPTH, "w8a8", image, steps, args.schedule,
+                   timeout=main_cap, slots=8)
+        if r:
+            if "elapsed" in r:
+                quant_denoise["w8a8"] = r["elapsed"]
+                qdetail = r.get("detail", {})
+            if "decode" in r:
+                quant_decode["w8a8"] = r["decode"]
+            if "serve_tok_s" in r:
+                serve_point = r
 
         def denoise_bf16():
             nonlocal elapsed, detail, depth
@@ -689,41 +762,16 @@ def main():
                     elapsed, detail, depth = r["elapsed"], r.get("detail", {}), dd
                     return
 
-        def denoise_quant(qmode, cap=2100):
-            r = _spawn("denoise", FULL_DEPTH, qmode, image, steps,
-                       args.schedule, timeout=cap)
-            if r and "elapsed" in r:
-                quant_denoise[qmode] = r["elapsed"]
-
-        if warm:
-            denoise_quant("w8a8")  # headline: measured, no extrapolation
-            if not quant_denoise and _remaining() > 60:
-                denoise_bf16()  # fallback basis
-        else:
-            # cold cache: guarantee a headline first, then go for the
-            # measured full-depth number with everything that remains
+        # fallback headline when the measured full-depth denoise is missing
+        if "w8a8" not in quant_denoise:
             denoise_bf16()
-            if _remaining() > 300:
-                denoise_quant("w8a8")
-        # decode (second BASELINE metric): full-depth measured
-        if _remaining() > 120:
-            r = _spawn("decode", FULL_DEPTH, "w8a8", image, steps,
-                       args.schedule, timeout=1200)
-            if r and "decode" in r:
-                quant_decode["w8a8"] = r["decode"]
-        # ---- optional attempts, cheapest-first, budget permitting ----
-        # serving runtime aggregate decode (continuous batching win)
-        if _remaining() > 300:
-            r = _spawn("serve", FULL_DEPTH, "w8a8", image, steps,
-                       args.schedule, timeout=1200, slots=8)
-            if r and "serve_tok_s" in r:
-                serve_point = r
+        # ---- optional attempts, budget permitting ----
         # decode at two bf16 depths: per-token time is affine in depth
         # (t = a + b*d; lm_head read and loop overhead don't scale with
         # layer count) -> better 28-layer estimate than linear scaling
-        if _remaining() > 300:
+        if _remaining() > 600:
             for ddepth in (8, 4):
-                if _remaining() <= 120:
+                if _remaining() <= 300:
                     break
                 r = _spawn("decode", ddepth, "bf16", image, steps,
                            args.schedule, timeout=900)
@@ -731,16 +779,19 @@ def main():
                     decode_points.append((ddepth, r["decode"]))
         # train fwd+bwd (SURVEY §6's only train-side perf row): full width,
         # depth 4 — the deepest whose params+grads fit 16 GB in bf16
-        if _remaining() > 300:
+        if _remaining() > 600:
             r = _spawn("train", 4, "bf16", image, steps, args.schedule,
                        timeout=1200)
             if r and "train_s" in r:
                 train_point = (4, r["train_s"], r["train_tokens"])
         # int8 weight-only full-depth denoise (serving --quant int8 config)
-        if _remaining() > 600:
-            denoise_quant("int8", cap=1500)
-        # bf16 depth-8 extrapolation cross-check when w8a8 ran first
-        if warm and elapsed is None and _remaining() > 600:
+        if _remaining() > 900:
+            r = _spawn("denoise", FULL_DEPTH, "int8", image, steps,
+                       args.schedule, timeout=1500)
+            if r and "elapsed" in r:
+                quant_denoise["int8"] = r["elapsed"]
+        # bf16 depth-8 extrapolation cross-check
+        if elapsed is None and _remaining() > 900:
             denoise_bf16()
 
     if elapsed is None and not quant_denoise:
@@ -808,6 +859,8 @@ def main():
         result["detail"][f"{qmode}_full_depth_denoise_img_per_s_measured"] = (
             round(1.0 / qelapsed, 5)
         )
+    if qdetail:
+        result["detail"]["w8a8_denoise_schedule"] = qdetail
     for qmode, qtok in quant_decode.items():
         result["detail"][f"{qmode}_full_depth_decode_tok_per_s_measured"] = (
             round(qtok, 2)

@@ -18,7 +18,8 @@ import bench
 def run_main_with_fake_spawn(monkeypatch, capsys, results):
     """results: dict (mode, depth, dtype) -> child dict or None."""
 
-    def fake_spawn(mode, depth, dtype, image, steps, schedule, timeout):
+    def fake_spawn(mode, depth, dtype, image, steps, schedule, timeout,
+                   slots=8):
         return results.get((mode, depth, dtype))
 
     class FakeDev:
@@ -40,17 +41,22 @@ def test_headline_prefers_measured_quant_when_faster(monkeypatch, capsys):
     res = run_main_with_fake_spawn(
         monkeypatch, capsys,
         {
+            # combined main child: denoise + decode + serve in one process
+            ("main", 28, "w8a8"): {
+                "elapsed": 27.38, "decode": 95.4,
+                "serve_tok_s": 410.2, "serve_tokens": 1024,
+                "serve_elapsed": 2.5, "serve_slots": 8,
+            },
             ("denoise", 8, "bf16"): {"elapsed": 9.71, "detail": {}},
-            ("denoise", 28, "w8a8"): {"elapsed": 27.38},
             ("denoise", 28, "int8"): {"elapsed": 33.3},
             ("decode", 8, "bf16"): {"decode": 142.9},
             ("decode", 4, "bf16"): {"decode": 235.8},
-            ("decode", 28, "w8a8"): {"decode": 95.4},
-            ("decode", 28, "int8"): {"decode": 95.6},
             # depth-8 train child OOMs (no result) -> depth-4 fallback
             ("train", 4, "bf16"): {"train_s": 0.795, "train_tokens": 4352},
         },
     )
+    srv = res["detail"]["serving_runtime_aggregate_decode"]
+    assert srv["slots"] == 8 and srv["aggregate_tok_per_s"] == 410.2
     tr = res["detail"]["train_fwd_bwd"]
     assert tr["depth"] == 4 and tr["step_s"] == 0.795
     assert tr["tokens_per_s"] == round(4352 / 0.795, 1)
@@ -71,8 +77,8 @@ def test_headline_falls_back_to_extrapolation(monkeypatch, capsys):
     res = run_main_with_fake_spawn(
         monkeypatch, capsys,
         {
+            # the combined main child failed (e.g. OOM) -> bf16 fallback
             ("denoise", 8, "bf16"): {"elapsed": 9.71, "detail": {}},
-            # quantized children failed (e.g. OOM) -> extrapolated headline
             ("decode", 8, "bf16"): {"decode": 142.9},
         },
     )
@@ -115,9 +121,8 @@ def test_bf16_failed_but_quant_measured_is_headline(monkeypatch, capsys):
     res = run_main_with_fake_spawn(
         monkeypatch, capsys,
         {
-            ("denoise", 28, "w8a8"): {"elapsed": 27.38},
+            ("main", 28, "w8a8"): {"elapsed": 27.38, "decode": 95.4},
             ("denoise", 28, "int8"): {"elapsed": 33.3},
-            ("decode", 28, "w8a8"): {"decode": 95.4},
         },
     )
     assert res["metric"].endswith("denoise_throughput")

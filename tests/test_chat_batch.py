@@ -50,3 +50,30 @@ def test_chat_batch_mixed_lengths(engine):
     prompts = ["a", "a much longer question about the same exact image?"]
     outs = engine.chat_batch(images, prompts, max_length=4)
     assert len(outs) == 2 and all(isinstance(o, str) for o in outs)
+
+
+def test_chat_batch_multi_image_rows(engine):
+    """Rows with >1 image (interleaved-chat shape, bagel.py:1004-1055) must
+    match sequential sessions that prefill the same images in order —
+    including a mixed batch where rows carry 2, 1 and 0 images."""
+    rng = np.random.default_rng(2)
+    mk = lambda h, w: rng.standard_normal((h, w, 3)).astype(np.float32) * 0.3
+    images = [
+        [mk(28, 28), mk(28, 42)],  # two images, different sizes
+        mk(42, 28),                # single image (bare ndarray still works)
+        None,                      # text-only
+    ]
+    prompts = ["compare the two images", "what is this?", "hello"]
+
+    batched = engine.chat_batch(images, prompts, max_length=6)
+
+    for imgs, prompt, got in zip(images, prompts, batched):
+        ctx = engine.init_context()
+        seq = [] if imgs is None else (
+            [imgs] if isinstance(imgs, np.ndarray) else imgs
+        )
+        for im in seq:
+            ctx = engine.update_context_image(im, ctx, vae=False, vit=True)
+        ctx = engine.update_context_text(prompt, ctx)
+        single = engine.gen_text(ctx, max_length=6)
+        assert got == single, (prompt, got, single)

@@ -151,3 +151,25 @@ def test_runtime_sharded_mesh(engine, mesh_shape):
             rt.stop()
     for p, g in zip(("hello there", "how now"), got):
         assert g == _sequential(engine, None, p, 6), (p, g)
+
+
+def test_runtime_multi_image_request(engine):
+    """A chat request carrying a LIST of images must match the sequential
+    session that prefills those images in order (interleaved-chat shape)."""
+    rng = np.random.default_rng(5)
+    mk = lambda h, w: rng.standard_normal((h, w, 3)).astype(np.float32) * 0.3
+    imgs = [mk(28, 28), mk(28, 42)]
+    prompt = "compare these"
+
+    rt = ServingRuntime(engine, slots=2, decode_chunk=3, max_new_default=6)
+    rt.start()
+    try:
+        got = rt.submit_chat(prompt, image=imgs).result(timeout=600)
+    finally:
+        rt.stop()
+
+    ctx = engine.init_context()
+    for im in imgs:
+        ctx = engine.update_context_image(im, ctx, vae=False, vit=True)
+    ctx = engine.update_context_text(prompt, ctx)
+    assert got == engine.gen_text(ctx, max_length=6)
