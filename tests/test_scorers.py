@@ -1,6 +1,7 @@
 """Benchmark scorer tests: canned predictions -> known published-metric
 values (VERDICT r1 next-step #5 'Done' criterion)."""
 
+import json
 import math
 
 import numpy as np
@@ -766,3 +767,74 @@ def test_mathvista_judge_extraction():
         raise RuntimeError("api down")
     assert extract_answer_with_judge(
         "foo", {"answer_type": "text"}, judge=bad) == ""
+
+
+# ---------------------------------------------------------------------------
+# Benchmark data prep (published formats -> runner jsonl)
+# ---------------------------------------------------------------------------
+
+
+def test_data_prep_mmbench(tmp_path):
+    import base64
+
+    from bagel_tpu.eval.data_prep import prep_mmbench
+
+    png = base64.b64encode(b"\x89PNG fakebytes").decode()
+    tsv = tmp_path / "mmbench.tsv"
+    tsv.write_text(
+        "index\tquestion\thint\tA\tB\tC\tD\tanswer\tcategory\timage\n"
+        f"7\tWhat color?\tLook closely\tred\tblue\t\t\tB\tcolor\t{png}\n"
+    )
+    out = tmp_path / "out.jsonl"
+    n = prep_mmbench(str(tsv), str(out), str(tmp_path / "imgs"))
+    assert n == 1
+    row = json.loads(out.read_text())
+    assert row["index"] == 7 and row["answer"] == "B"
+    assert row["options"] == {"A": "red", "B": "blue"}
+    assert row["question"].startswith("Look closely\nWhat color?")
+    assert "A. red" in row["question"] and row["question"].endswith(
+        "Answer with the option's letter from the given choices directly.")
+    import os
+    assert os.path.exists(row["image"])
+    assert open(row["image"], "rb").read() == b"\x89PNG fakebytes"
+
+
+def test_data_prep_mme_and_pope(tmp_path):
+    from bagel_tpu.eval.data_prep import prep_mme, prep_pope
+
+    root = tmp_path / "mme"
+    (root / "color" / "images").mkdir(parents=True)
+    (root / "color" / "images" / "x.jpg").write_bytes(b"j")
+    (root / "color.txt").write_text(
+        "x.jpg\tIs the car red?\tYes\nx.jpg\tIs the car blue?\tNo\n"
+    )
+    out = tmp_path / "mme.jsonl"
+    assert prep_mme(str(root), str(out)) == 2
+    rows = [json.loads(l) for l in out.read_text().splitlines()]
+    assert rows[0]["category"] == "color" and rows[0]["answer"] == "yes"
+    assert rows[0]["image"] == "color/images/x.jpg"  # images/ fallback
+    assert rows[0]["question"].endswith("single word or phrase.")
+
+    q = tmp_path / "pope_q.jsonl"
+    q.write_text(json.dumps({
+        "question_id": 3, "image": "p.jpg",
+        "text": "Is there a dog?", "label": "No",
+    }) + "\n")
+    out2 = tmp_path / "pope.jsonl"
+    assert prep_pope(str(q), str(out2), image_dir="root") == 1
+    row = json.loads(out2.read_text())
+    assert row["answer"] == "no" and row["image"] == "root/p.jpg"
+
+
+def test_data_prep_wise(tmp_path):
+    from bagel_tpu.eval.data_prep import prep_wise
+
+    src = tmp_path / "wise.json"
+    src.write_text(json.dumps([
+        {"prompt_id": 11, "Prompt": "a rusting anchor", "Subcategory": "Chemistry"},
+    ]))
+    out = tmp_path / "wise.jsonl"
+    assert prep_wise(str(src), str(out)) == 1
+    row = json.loads(out.read_text())
+    assert row == {"index": 11, "prompt": "a rusting anchor",
+                   "category": "Chemistry"}
