@@ -162,7 +162,9 @@ def _fast_quantized_llm(cfg, vocab_rows: int = None, head_cols: int = None,
     built on device like fast_llm_params — full 28-layer int8 (~14 GB) fits
     one 16 GB chip, giving a MEASURED full-depth number. mode='w8a8' emits
     'w_q8' matmul leaves (dynamic activation quant + int8 MXU dots);
-    embedding/lm_head stay weight-only in both modes."""
+    mode='int4' emits packed-nibble 'w_p4' leaves (~7 GB at rest — decode
+    reads half the bytes of int8, the serving --quant int4 config);
+    embedding/lm_head stay weight-only int8 in every mode."""
     import jax
     import jax.numpy as jnp
 
@@ -176,15 +178,30 @@ def _fast_quantized_llm(cfg, vocab_rows: int = None, head_cols: int = None,
     block = jax.random.randint(
         jax.random.PRNGKey(0), (256, 256), -127, 127, jnp.int32
     ).astype(jnp.int8)
+    ublock = jax.random.randint(
+        jax.random.PRNGKey(1), (256, 256), 0, 256, jnp.int32
+    ).astype(jnp.uint8)
+
+    def q4(shape):
+        # int4 leaf: packed nibbles [.., in/2, out] + per-group scales
+        # (utils/quant.quantize_weight_int4 layout, group=128)
+        r, c = shape[-2], shape[-1]
+        t = jnp.tile(ublock, (-(-(r // 2) // 256), -(-c // 256)))[: r // 2, :c]
+        s = jnp.full(shape[:-2] + (r // 128, c), 2e-4, jnp.float32)
+        if len(shape) == 3:
+            t = jnp.broadcast_to(t[None], (shape[0],) + t.shape) + 0
+        return {"w_p4": t, "scale4": s}
 
     def q(shape, key=None):
+        if mode == "int4" and key is None:
+            return q4(shape)
         r, c = shape[-2], shape[-1]
         t = jnp.tile(block, (-(-r // 256), -(-c // 256)))[:r, :c]
         if len(shape) == 3:
             t = jnp.broadcast_to(t[None], shape) + 0  # materialize
         scale_shape = (shape[0], shape[-1]) if len(shape) == 3 else shape[-1:]
         return {
-            key or wkey: t,
+            key or ("w_q" if mode == "int4" else wkey): t,
             "scale": jnp.full(scale_shape, 2e-4, jnp.float32),
         }
 
@@ -235,7 +252,7 @@ def _build_denoise(depth: int, image: int, dtype_name: str):
     from bagel_tpu.models import qwen2
     from bagel_tpu.models.bagel import init_bagel_params
 
-    dtype = jnp.bfloat16 if dtype_name in ("bf16", "int8", "w8a8") else jnp.float32
+    dtype = jnp.bfloat16 if dtype_name != "fp32" else jnp.float32
     llm = Qwen2Config(num_hidden_layers=depth)
     cfg = BagelConfig(
         llm=llm, vit=None, vae=VAEConfig(), visual_und=False,
@@ -246,7 +263,7 @@ def _build_denoise(depth: int, image: int, dtype_name: str):
     small = dc.replace(cfg, llm=dc.replace(llm, num_hidden_layers=1, vocab_size=8))
     params = init_bagel_params(jax.random.PRNGKey(0), small, dtype=dtype)
     params.pop("vae", None)  # denoise scan never touches the VAE
-    if dtype_name in ("int8", "w8a8"):
+    if dtype_name in ("int8", "w8a8", "int4"):
         params["llm"] = _fast_quantized_llm(llm, vocab_rows=8, head_cols=8,
                                             mode=dtype_name)
     else:
@@ -390,9 +407,9 @@ def run_decode_bench(depth: int, dtype_name: str, prompt_len: int = 512,
         llm_extend,
     )
 
-    dtype = jnp.bfloat16 if dtype_name in ("bf16", "int8", "w8a8") else jnp.float32
+    dtype = jnp.bfloat16 if dtype_name != "fp32" else jnp.float32
     cfg = Qwen2Config(num_hidden_layers=depth)
-    if dtype_name in ("int8", "w8a8"):
+    if dtype_name in ("int8", "w8a8", "int4"):
         params = _fast_quantized_llm(cfg, mode=dtype_name)
     elif jax.default_backend() == "tpu":
         params = fast_llm_params(cfg, dtype)
@@ -452,7 +469,7 @@ def run_train_bench(depth: int, dtype_name: str, image: int = 1024,
     from bagel_tpu.models.bagel import init_bagel_params
     from bagel_tpu.train.step import compute_losses
 
-    dtype = jnp.bfloat16 if dtype_name in ("bf16", "int8", "w8a8") else jnp.float32
+    dtype = jnp.bfloat16 if dtype_name != "fp32" else jnp.float32
     llm = Qwen2Config(num_hidden_layers=depth)
     cfg = BagelConfig(
         llm=llm, vit=SiglipConfig(num_hidden_layers=2), vae=VAEConfig(),
@@ -515,7 +532,7 @@ def run_serving_bench(depth: int, dtype_name: str, slots: int = 8,
     llm = Qwen2Config(num_hidden_layers=depth)
     cfg = BagelConfig(llm=llm, vit=None, vae=VAEConfig(), visual_und=False,
                       max_latent_size=64)
-    if dtype_name in ("int8", "w8a8"):
+    if dtype_name in ("int8", "w8a8", "int4"):
         params = {"llm": _fast_quantized_llm(llm, mode=dtype_name)}
     else:
         dtype = jnp.bfloat16 if dtype_name == "bf16" else jnp.float32
@@ -686,7 +703,7 @@ def main():
                     help="serving-runtime bench slot count")
     ap.add_argument("--depth", type=int, default=None)
     ap.add_argument("--dtype", type=str, default="bf16",
-                    choices=["bf16", "fp32", "int8", "w8a8"])
+                    choices=["bf16", "fp32", "int8", "w8a8", "int4"])
     ap.add_argument("--schedule", default="production",
                     choices=["production", "naive"])
     args = ap.parse_args()
@@ -784,6 +801,13 @@ def main():
                        timeout=1200)
             if r and "train_s" in r:
                 train_point = (4, r["train_s"], r["train_tokens"])
+        # int4 full-depth decode: half the weight bytes of int8 — the
+        # bandwidth-bound decode's fastest serving config
+        if _remaining() > 600:
+            r = _spawn("decode", FULL_DEPTH, "int4", image, steps,
+                       args.schedule, timeout=1200)
+            if r and "decode" in r:
+                quant_decode["int4"] = r["decode"]
         # int8 weight-only full-depth denoise (serving --quant int8 config)
         if _remaining() > 900:
             r = _spawn("denoise", FULL_DEPTH, "int8", image, steps,
