@@ -131,6 +131,26 @@ def _linear(x, p, precision=None):
             p["w_q"].astype(jnp.float32) * p["scale"][..., None, :]
         ).astype(x.dtype)
     elif "w_p4" in p or "w_nf4" in p:
+        if "w_p4" in p:
+            from bagel_tpu.ops.int4_matmul import (
+                int4_gemv_eligible,
+                int4_matmul,
+            )
+
+            lead = x.shape[:-1]
+            rows = 1
+            for s in lead:
+                rows *= s
+            if int4_gemv_eligible(rows, p):
+                # bandwidth-bound decode: stream packed nibbles through the
+                # fused Pallas kernel instead of materializing the
+                # dequantized weight in HBM
+                out = int4_matmul(
+                    x.reshape(rows, x.shape[-1]), p["w_p4"], p["scale4"]
+                ).reshape(lead + (p["w_p4"].shape[-1],)).astype(jnp.float32)
+                if "b" in p:
+                    out = out + p["b"].astype(jnp.float32)
+                return out.astype(x.dtype)
         from bagel_tpu.utils.quant import dequantize_weight4
 
         w = dequantize_weight4(p, x.dtype)

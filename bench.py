@@ -823,6 +823,8 @@ def main():
                           "vs_baseline": 0}))
         return
 
+    bf16_extra = None  # bf16 depth-extrapolated img/s (kept in detail even
+    # when a measured quant point takes the headline)
     if elapsed is not None:
         # elapsed is one full production-schedule image at the measured
         # depth; extrapolate linearly to full depth (layer-linear cost)
@@ -830,6 +832,7 @@ def main():
         if args.schedule == "naive" or platform == "cpu":
             per_image *= 50 / steps  # naive/tiny runs a truncated schedule
         img_per_s = 1.0 / per_image
+        bf16_extra = round(1.0 / per_image, 5)
         headline_basis = (
             f"bf16 depth-{depth} extrapolated to {FULL_DEPTH} layers"
         )
@@ -848,6 +851,7 @@ def main():
         if 1.0 / qelapsed > img_per_s:
             img_per_s = 1.0 / qelapsed
             headline_basis = f"{qmode} full-depth measured (no extrapolation)"
+            depth, dtype, elapsed = FULL_DEPTH, qmode, qelapsed
     # non-50-step production runs measure a different schedule: embed the
     # real step count in the metric name instead of mislabeling (naive/tiny
     # runs are rescaled to the 50-step cost above, so they keep the label)
@@ -867,9 +871,8 @@ def main():
             "dtype": dtype,
             "headline_basis": headline_basis,
             **(
-                {"bf16_extrapolated_img_per_s": round(
-                    depth / (elapsed * FULL_DEPTH), 5)}
-                if elapsed else {}
+                {"bf16_extrapolated_img_per_s": bf16_extra}
+                if bf16_extra else {}
             ),
             "note": (
                 "production operating point: cfg_interval (0.4,1.0] phase "
@@ -920,6 +923,10 @@ def main():
         result["detail"]["vqa_decode_measured"] = [
             {"depth": d, "tok_per_s": round(r, 2)} for d, r in decode_points
         ]
+    # depth-extrapolated bf16 decode estimate: only meaningful when no
+    # measured full-depth decode exists (a single-point linear scale badly
+    # underestimates — the lm_head read doesn't scale with depth)
+    if decode_points and not quant_decode:
         if len(decode_points) >= 2 and decode_points[0][0] != decode_points[1][0]:
             (d1, r1), (d2, r2) = decode_points[:2]
             t1, t2 = 1.0 / r1, 1.0 / r2
@@ -935,6 +942,7 @@ def main():
             tok28, 2
         )
         result["detail"]["vqa_decode_extrapolation"] = basis
+    if decode_points or quant_decode:
         result["detail"]["vqa_decode_baseline"] = "40 tok/s/chip"
     print(json.dumps(result))
 

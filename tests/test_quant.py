@@ -208,3 +208,53 @@ def test_quantize_llm_params_int4_engine_runs():
               cfg_text_scale=2.0, rng=jax.random.PRNGKey(1))
     assert out["image"].shape == (32, 32, 3)
     assert np.isfinite(out["image"].astype(np.float32)).all()
+
+
+def test_int4_fused_matmul_kernel_matches_dequant():
+    """ops/int4_matmul (Pallas fused dequant-GEMV) == the XLA dequant path
+    on the real packed-nibble layout, including multi-group scales."""
+    import jax
+    import jax.numpy as jnp
+
+    from bagel_tpu.ops.int4_matmul import int4_matmul
+    from bagel_tpu.utils.quant import dequantize_weight4, quantize_weight_int4
+
+    rng = np.random.default_rng(0)
+    in_, out = 256, 512  # two scale groups, one output tile
+    w = jnp.asarray(rng.standard_normal((in_, out)).astype(np.float32))
+    leaf = quantize_weight_int4(w, group=128)
+    for m in (1, 3, 8):
+        x = jnp.asarray(rng.standard_normal((m, in_)).astype(np.float32))
+        # fp32 dequant reference: the kernel keeps nibbles exact and
+        # applies scales after accumulation, so it is MORE precise than
+        # the bf16-dequant XLA path — compare against fp32
+        want = jnp.dot(
+            x.astype(jnp.bfloat16).astype(jnp.float32),
+            dequantize_weight4(leaf, jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
+        got = int4_matmul(x, leaf["w_p4"], leaf["scale4"], interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(want, np.float32),
+            rtol=2e-2, atol=2e-2,
+        )
+
+
+def test_int4_kernel_wide_shapes():
+    import jax.numpy as jnp
+
+    from bagel_tpu.ops.int4_matmul import int4_matmul
+    from bagel_tpu.utils.quant import dequantize_weight4, quantize_weight_int4
+
+    rng = np.random.default_rng(1)
+    in_, out = 512, 1024
+    w = jnp.asarray(rng.standard_normal((in_, out)).astype(np.float32) * 0.1)
+    leaf = quantize_weight_int4(w, group=128)
+    x = jnp.asarray(rng.standard_normal((5, in_)).astype(np.float32))
+    want = jnp.dot(x.astype(jnp.bfloat16).astype(jnp.float32),
+                   dequantize_weight4(leaf, jnp.float32),
+                   preferred_element_type=jnp.float32)
+    got = int4_matmul(x, leaf["w_p4"], leaf["scale4"], interpret=True)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               rtol=2e-2, atol=2e-2)
