@@ -165,6 +165,15 @@ def flash_cached_attention(
 
     block_q = fit_block(t, block_q)
     block_k = fit_block(s, block_k)
+    # scoped-VMEM guard (swept on chip: bq=512 with bk=S compiles to an
+    # 18.9M stack allocation vs the 16M limit): shrink block_k until the
+    # working set — fp32 logits tile + double-buffered k/v + q + acc —
+    # fits comfortably
+    def vmem_est(bq, bk):
+        return bq * bk * 4 + 2 * (2 * bk * d * 2) + bq * d * 6 + bq * 512 * 2
+
+    while block_k > 256 and vmem_est(block_q, block_k) > 10 * 2**20:
+        block_k = fit_block(s, block_k // 2)
     assert t % block_q == 0 and s % block_k == 0, (t, s, block_q, block_k)
     if scale is None:
         scale = d**-0.5
