@@ -242,26 +242,34 @@ def _concat_leaves(leaves: list) -> dict:
     return {k: jnp.concatenate([p[k] for p in leaves], axis=-1) for k in keys}
 
 
-def fuse_llm_params(params: dict) -> dict:
+def fuse_llm_params(params: dict, inplace: bool = False) -> dict:
     """Return params with per-attn 'qkv' and per-mlp 'gate_up' fused leaves
-    (originals dropped). Idempotent; leaves bare norms/lm_head untouched."""
-    out = dict(params)
-    layers = dict(params["layers"])
+    (originals dropped). Idempotent; leaves bare norms/lm_head untouched.
+
+    inplace=True mutates the given dicts so each group's unfused leaves are
+    freed as soon as its fused leaf exists — peak memory is one extra
+    group, not a whole second tree (a full-depth int8 MoT + its fused copy
+    would not fit one 16 GB chip). Callers that keep references to the
+    original tree must use inplace=False."""
+    out = params if inplace else dict(params)
+    layers = params["layers"] if inplace else dict(params["layers"])
     for name in list(layers):
         if name.startswith("attn"):
-            a = dict(layers[name])
+            a = layers[name] if inplace else dict(layers[name])
             if "qkv" not in a:
                 q, k, v = a.pop("q"), a.pop("k"), a.pop("v")
                 a["qkv"] = _concat_leaves([q, k, v])
+                del q, k, v
             layers[name] = a
         elif name.startswith("mlp"):
-            m = dict(layers[name])
+            m = layers[name] if inplace else dict(layers[name])
             if "gate_up" not in m:
                 gate = m.pop("gate")
                 up = m.pop("up")
                 if not isinstance(gate, dict):
                     gate, up = {"w": gate}, {"w": up}
                 m["gate_up"] = _concat_leaves([gate, up])
+                del gate, up
             layers[name] = m
     out["layers"] = layers
     return out

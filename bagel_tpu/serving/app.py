@@ -102,7 +102,7 @@ def build_engine(args):
         # concat with their per-output-channel scales
         from bagel_tpu.models.qwen2 import fuse_llm_params
 
-        params["llm"] = fuse_llm_params(params["llm"])
+        params["llm"] = fuse_llm_params(params["llm"], inplace=True)
 
     if args.mesh:
         from bagel_tpu.parallel import make_mesh, shard_params

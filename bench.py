@@ -101,9 +101,13 @@ def _tiled_normal(block, shape, dtype):
     return t
 
 
-def fast_llm_params(cfg, dtype, vocab_rows=None, head_cols=None):
+def fast_llm_params(cfg, dtype, vocab_rows=None, head_cols=None,
+                    fused: bool = False):
     """MoT Qwen2 param tree with the exact structure of
-    models.qwen2.init_qwen2_params (layer_module='mot'), built on device."""
+    models.qwen2.init_qwen2_params (layer_module='mot'), built on device.
+    fused=True builds the qkv/gate_up leaves DIRECTLY at their concatenated
+    shapes — fusing after the fact would hold both trees and overflow the
+    16 GB chip at full depth."""
     import jax
     import jax.numpy as jnp
 
@@ -124,6 +128,13 @@ def fast_llm_params(cfg, dtype, vocab_rows=None, head_cols=None):
         return p
 
     def attn():
+        if fused:
+            return {
+                "qkv": w((L, d, qd + 2 * kvd), qd + 2 * kvd),
+                "o": w((L, qd, d)),
+                "q_norm": jnp.ones((L, hd), jnp.float32),
+                "k_norm": jnp.ones((L, hd), jnp.float32),
+            }
         return {
             "q": w((L, d, qd), qd),
             "k": w((L, d, kvd), kvd),
@@ -134,6 +145,11 @@ def fast_llm_params(cfg, dtype, vocab_rows=None, head_cols=None):
         }
 
     def mlp():
+        if fused:
+            return {
+                "gate_up": _tiled_normal(block, (L, d, 2 * f), dtype),
+                "down": _tiled_normal(block, (L, f, d), dtype),
+            }
         return {
             "gate": _tiled_normal(block, (L, d, f), dtype),
             "up": _tiled_normal(block, (L, d, f), dtype),
@@ -157,7 +173,7 @@ def fast_llm_params(cfg, dtype, vocab_rows=None, head_cols=None):
 
 
 def _fast_quantized_llm(cfg, vocab_rows: int = None, head_cols: int = None,
-                        mode: str = "int8"):
+                        mode: str = "int8", fused: bool = False):
     """int8 variant (structure of utils.quant.quantize_llm_params output),
     built on device like fast_llm_params — full 28-layer int8 (~14 GB) fits
     one 16 GB chip, giving a MEASURED full-depth number. mode='w8a8' emits
@@ -206,6 +222,14 @@ def _fast_quantized_llm(cfg, vocab_rows: int = None, head_cols: int = None,
         }
 
     def attn():
+        if fused:
+            return {
+                "qkv": {**q((L, d, qd + 2 * kvd)),
+                        "b": jnp.zeros((L, qd + 2 * kvd), jnp.bfloat16)},
+                "o": q((L, qd, d)),
+                "q_norm": jnp.ones((L, hd), jnp.float32),
+                "k_norm": jnp.ones((L, hd), jnp.float32),
+            }
         return {
             "q": {**q((L, d, qd)), "b": jnp.zeros((L, qd), jnp.bfloat16)},
             "k": {**q((L, d, kvd)), "b": jnp.zeros((L, kvd), jnp.bfloat16)},
@@ -216,6 +240,8 @@ def _fast_quantized_llm(cfg, vocab_rows: int = None, head_cols: int = None,
         }
 
     def mlp():
+        if fused:
+            return {"gate_up": q((L, d, 2 * f)), "down": q((L, f, d))}
         return {"gate": q((L, d, f)), "up": q((L, d, f)), "down": q((L, f, d))}
 
     return {
@@ -263,14 +289,15 @@ def _build_denoise(depth: int, image: int, dtype_name: str):
     small = dc.replace(cfg, llm=dc.replace(llm, num_hidden_layers=1, vocab_size=8))
     params = init_bagel_params(jax.random.PRNGKey(0), small, dtype=dtype)
     params.pop("vae", None)  # denoise scan never touches the VAE
+    # fused QKV / gate-up: one dispatch + one activation quant per group;
+    # built directly at fused shapes (post-hoc fusion would hold 2 trees)
+    fuse = os.environ.get("BAGEL_FUSE", "1") == "1"
     if dtype_name in ("int8", "w8a8", "int4"):
         params["llm"] = _fast_quantized_llm(llm, vocab_rows=8, head_cols=8,
-                                            mode=dtype_name)
+                                            mode=dtype_name, fused=fuse)
     else:
-        params["llm"] = fast_llm_params(llm, dtype, vocab_rows=8, head_cols=8)
-    if os.environ.get("BAGEL_FUSE", "1") == "1":
-        # fused QKV / gate-up: one dispatch + one activation quant per group
-        params["llm"] = qwen2.fuse_llm_params(params["llm"])
+        params["llm"] = fast_llm_params(llm, dtype, vocab_rows=8,
+                                        head_cols=8, fused=fuse)
 
     down = cfg.latent_downsample  # 16
     h = w = image // down
@@ -409,16 +436,17 @@ def run_decode_bench(depth: int, dtype_name: str, prompt_len: int = 512,
 
     dtype = jnp.bfloat16 if dtype_name != "fp32" else jnp.float32
     cfg = Qwen2Config(num_hidden_layers=depth)
+    fuse = os.environ.get("BAGEL_FUSE", "1") == "1"
     if dtype_name in ("int8", "w8a8", "int4"):
-        params = _fast_quantized_llm(cfg, mode=dtype_name)
+        params = _fast_quantized_llm(cfg, mode=dtype_name, fused=fuse)
     elif jax.default_backend() == "tpu":
-        params = fast_llm_params(cfg, dtype)
+        params = fast_llm_params(cfg, dtype, fused=fuse)
     else:
         params = init_qwen2_params(jax.random.PRNGKey(0), cfg, dtype)
-    if os.environ.get("BAGEL_FUSE", "1") == "1":
-        from bagel_tpu.models.qwen2 import fuse_llm_params
+        if fuse:
+            from bagel_tpu.models.qwen2 import fuse_llm_params
 
-        params = fuse_llm_params(params)
+            params = fuse_llm_params(params)
     cache = kv_cache_init(cfg, 1, prompt_len + new_tokens + 128, dtype)
     ids = jax.random.randint(jax.random.PRNGKey(1), (1, prompt_len), 0,
                              cfg.vocab_size)
@@ -532,21 +560,20 @@ def run_serving_bench(depth: int, dtype_name: str, slots: int = 8,
     llm = Qwen2Config(num_hidden_layers=depth)
     cfg = BagelConfig(llm=llm, vit=None, vae=VAEConfig(), visual_und=False,
                       max_latent_size=64)
+    fuse = os.environ.get("BAGEL_FUSE", "1") == "1"
     if dtype_name in ("int8", "w8a8", "int4"):
-        params = {"llm": _fast_quantized_llm(llm, mode=dtype_name)}
+        params = {"llm": _fast_quantized_llm(llm, mode=dtype_name,
+                                             fused=fuse)}
     else:
         dtype = jnp.bfloat16 if dtype_name == "bf16" else jnp.float32
         if jax.default_backend() == "tpu":
-            params = {"llm": fast_llm_params(llm, dtype)}
+            params = {"llm": fast_llm_params(llm, dtype, fused=fuse)}
         else:
             from bagel_tpu.models import init_qwen2_params
+            from bagel_tpu.models.qwen2 import fuse_llm_params
 
-            params = {"llm": init_qwen2_params(jax.random.PRNGKey(0), llm,
-                                               dtype)}
-    if os.environ.get("BAGEL_FUSE", "1") == "1":
-        from bagel_tpu.models.qwen2 import fuse_llm_params
-
-        params["llm"] = fuse_llm_params(params["llm"])
+            p = init_qwen2_params(jax.random.PRNGKey(0), llm, dtype)
+            params = {"llm": fuse_llm_params(p) if fuse else p}
     tok = MockTokenizer(llm.vocab_size)
     eng = BagelEngine(params, cfg, tok, tok.new_token_ids,
                       max_kv=prompt_len + max_new + 256)
