@@ -107,3 +107,20 @@ def test_fused_decode_and_sharded(setup):
     with mesh:
         sf = shard_params(mesh, {"llm": fused})["llm"]
         np.testing.assert_array_equal(decode(sf), want)
+
+
+def test_fuse_inplace_frees_originals(setup):
+    """inplace=True drops the unfused leaves from the ORIGINAL dicts (the
+    memory-bounded path for full-depth single-chip serving) and matches the
+    non-inplace result."""
+    import copy
+
+    cfg, params = setup
+    a = copy.deepcopy(params)
+    b = copy.deepcopy(params)
+    fa = fuse_llm_params(a, inplace=True)
+    fb = fuse_llm_params(b)
+    assert fa is a and "q" not in a["layers"]["attn"]
+    assert "gate" not in a["layers"]["mlp"]
+    for x, y in zip(jax.tree.leaves(fa), jax.tree.leaves(fb)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
