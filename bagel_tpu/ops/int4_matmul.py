@@ -44,16 +44,17 @@ def _int4_kernel(xe_ref, xo_ref, wp_ref, s_ref, o_ref, acc_scr):
     wp = wp_ref[...]  # [bkp, bn] uint8
     lo = (wp & jnp.uint8(15)).astype(jnp.int8) - 8
     hi = (wp >> jnp.uint8(4)).astype(jnp.int8) - 8
-    xe = xe_ref[...]  # [m, bkp]
-    xo = xo_ref[...]
+    xe = xe_ref[0]  # [bkp, m] (k-major so the block tiles legally)
+    xo = xo_ref[0]
+    # contract over the packed-row dim of both operands -> [m, bn]
     part = jax.lax.dot_general(
-        xe, lo.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+        xe, lo.astype(jnp.bfloat16), (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) + jax.lax.dot_general(
-        xo, hi.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+        xo, hi.astype(jnp.bfloat16), (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    acc_scr[:] += part * s_ref[...]  # [1, bn] broadcasts over m
+    acc_scr[:] += part * s_ref[0]  # [1, bn] broadcasts over m
 
     @pl.when(kg == nk - 1)
     def _finalize():
@@ -79,25 +80,31 @@ def int4_matmul(
     xb = x.astype(jnp.bfloat16)
     if mp != m:
         xb = jnp.pad(xb, ((0, mp - m), (0, 0)))
-    # even/odd input rows, laid out [M, in/2] to match the packed rows
-    xe = xb[:, 0::2]
-    xo = xb[:, 1::2]
+    nk = in_ // (2 * _BKP)
+    # even/odd input rows, k-major [nk, bkp, m]: TPU block tiling needs the
+    # last two dims (8, 128)-divisible or equal to the array dims; a
+    # (m, bkp) slice of [m, in/2] is neither, but a (1, bkp, m) slice of
+    # [nk, bkp, m] is (the sparse_flash [n, 1, block] metadata trick).
+    # Scales likewise become [nk, 1, out].
+    xe = xb[:, 0::2].T.reshape(nk, _BKP, mp)
+    xo = xb[:, 1::2].T.reshape(nk, _BKP, mp)
+    s3 = scale4.astype(jnp.float32).reshape(nk, 1, out)
 
-    grid = (out // _BN, in_ // (2 * _BKP))
+    grid = (out // _BN, nk)
     res = pl.pallas_call(
         _int4_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((mp, _BKP), lambda no, kg: (0, kg)),
-            pl.BlockSpec((mp, _BKP), lambda no, kg: (0, kg)),
+            pl.BlockSpec((1, _BKP, mp), lambda no, kg: (kg, 0, 0)),
+            pl.BlockSpec((1, _BKP, mp), lambda no, kg: (kg, 0, 0)),
             pl.BlockSpec((_BKP, _BN), lambda no, kg: (kg, no)),
-            pl.BlockSpec((1, _BN), lambda no, kg: (kg, no)),
+            pl.BlockSpec((1, 1, _BN), lambda no, kg: (kg, 0, no)),
         ],
         out_specs=pl.BlockSpec((mp, _BN), lambda no, kg: (0, no)),
         scratch_shapes=[pltpu.VMEM((mp, _BN), jnp.float32)],
         out_shape=jax.ShapeDtypeStruct((mp, out), jnp.bfloat16),
         interpret=interpret,
-    )(xe, xo, w_p4, scale4.astype(jnp.float32))
+    )(xe, xo, w_p4, s3)
     return res[:m]
 
 
