@@ -247,6 +247,66 @@ def bagel_forward_train(
     (weights zero out padding / no-loss entries; reduction happens in the
     train step so token counts can be normalized globally via psum).
     """
+    seq, timesteps = _assemble_train_seq(params, cfg, batch, noise, precision)
+
+    if attn_chunk is None and context_parallel is None and sparse_block is None:
+        mask = train_packed_mask(
+            batch.document_id, batch.fan_id, batch.noise_id
+        )
+        meta = None
+    else:  # long sequences: no dense [S, S] mask materialization
+        mask = None
+        meta = (batch.document_id, batch.fan_id, batch.noise_id)
+    hidden = qwen2.llm_forward_train(
+        params["llm"], cfg.llm, seq, batch.position_ids, mask,
+        batch.gen_mask, precision, mask_meta=meta, attn_chunk=attn_chunk,
+        context_parallel=context_parallel, sparse_block=sparse_block,
+    )
+    return _train_heads(params, cfg, batch, noise, hidden, timesteps,
+                        precision)
+
+
+def bagel_forward_train_pp(
+    params: dict,
+    cfg: BagelConfig,
+    batch: "PackedTrainBatch",  # leading microbatch axis on every leaf
+    noise: jax.Array,  # [B, n_vae, patch_latent_dim]
+    mesh,
+    axis: str = "pp",
+    precision=None,
+    attn_chunk=None,
+) -> Dict[str, jax.Array]:
+    """Pipeline-parallel packed training forward over a stacked batch.
+
+    Same math as vmapping bagel_forward_train over the rows (gradient
+    parity: tests/test_pipeline.py); the MoT layer stack is staged over
+    the ``axis`` mesh dim and the rows flow through as GPipe microbatches
+    (parallel/pipeline.py). Assembly and loss heads run replicated."""
+    from bagel_tpu.parallel.pipeline import pipeline_llm_forward_train
+
+    seqs, timesteps = jax.vmap(
+        lambda b, n: _assemble_train_seq(params, cfg, b, n, precision)
+    )(batch, noise)
+    if attn_chunk is None:
+        masks = jax.vmap(train_packed_mask)(
+            batch.document_id, batch.fan_id, batch.noise_id
+        )
+        meta = None
+    else:
+        masks = None
+        meta = (batch.document_id, batch.fan_id, batch.noise_id)
+    hidden = pipeline_llm_forward_train(
+        params["llm"], cfg.llm, seqs, batch.position_ids, batch.gen_mask,
+        masks, mesh, axis, precision, mask_meta=meta, attn_chunk=attn_chunk,
+    )
+    return jax.vmap(
+        lambda b, n, h, t: _train_heads(params, cfg, b, n, h, t, precision)
+    )(batch, noise, hidden, timesteps)
+
+
+def _assemble_train_seq(params, cfg, batch, noise, precision=None):
+    """Scatter text embeds + ViT embeds + noised VAE latents into one packed
+    [S, d] sequence (bagel.py:151-197). Returns (seq, timesteps)."""
     s = batch.seq_len
     d = cfg.llm.hidden_size
     dtype = params["llm"]["embed"].dtype
@@ -275,21 +335,14 @@ def bagel_forward_train(
             precision,
         )
         seq = seq.at[batch.vae_idx].set(lat_emb)
+    return seq, timesteps
 
-    if attn_chunk is None and context_parallel is None and sparse_block is None:
-        mask = train_packed_mask(
-            batch.document_id, batch.fan_id, batch.noise_id
-        )
-        meta = None
-    else:  # long sequences: no dense [S, S] mask materialization
-        mask = None
-        meta = (batch.document_id, batch.fan_id, batch.noise_id)
-    hidden = qwen2.llm_forward_train(
-        params["llm"], cfg.llm, seq, batch.position_ids, mask,
-        batch.gen_mask, precision, mask_meta=meta, attn_chunk=attn_chunk,
-        context_parallel=context_parallel, sparse_block=sparse_block,
-    )
 
+def _train_heads(params, cfg, batch, noise, hidden, timesteps,
+                 precision=None) -> Dict[str, jax.Array]:
+    """Loss heads over the final hidden states: llm2vae -> per-element MSE
+    vs (noise - x0) on vae tokens, lm_head -> per-token CE on ce_idx
+    positions (bagel.py:217-229)."""
     out: Dict[str, jax.Array] = {}
     if cfg.visual_gen and batch.vae_patches.shape[0] > 0:
         v_pred = _linear(hidden[batch.vae_idx], params["llm2vae"], precision)

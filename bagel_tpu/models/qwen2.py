@@ -634,81 +634,8 @@ def llm_forward_train(
     x = freeze_und(packed)
 
     def body(x, lp):
-        attn_u = lp["attn"]
-        attn_g = lp["attn_gen"] if mot else lp["attn"]
-        res = x
-        if mot:
-            y = _select(
-                gen_mask,
-                rms_norm(x, lp["input_ln_gen"], eps),
-                rms_norm(x, lp["input_ln"], eps),
-            )
-        else:
-            y = rms_norm(x, lp["input_ln"], eps)
-
-        def qkv(attn):
-            return _proj_qkv(y, attn, h, kh, hd, precision)
-
-        if mot:
-            qu, ku, vu = qkv(attn_u)
-            qg, kg, vg = qkv(attn_g)
-            q = jnp.where(gen_mask[:, None, None], qg, qu)
-            k = jnp.where(gen_mask[:, None, None], kg, ku)
-            v = jnp.where(gen_mask[:, None, None], vg, freeze_und(vu))
-        else:
-            q, k, v = qkv(attn_u)
-
-        if cfg.qk_norm:
-            def qknorm(z, w):
-                return rms_norm(z.astype(jnp.float32), w, eps)
-
-            if mot:
-                q = jnp.where(
-                    gen_mask[:, None, None],
-                    qknorm(q, attn_g["q_norm"]),
-                    freeze_und(qknorm(q, attn_u["q_norm"])),
-                )
-                k = jnp.where(
-                    gen_mask[:, None, None],
-                    qknorm(k, attn_g["k_norm"]),
-                    freeze_und(qknorm(k, attn_u["k_norm"])),
-                )
-            else:
-                q = qknorm(q, attn_u["q_norm"])
-                k = qknorm(k, attn_u["k_norm"])
-
-        q, k = apply_rope(q, k, cos, sin)
-        q = q.astype(v.dtype)
-        k = k.astype(v.dtype)
-        att = attend(q, k, v).reshape(s, h * hd)
-        if mot:
-            o = _select(
-                gen_mask,
-                _linear(att, attn_g["o"], precision),
-                _linear(att, attn_u["o"], precision),
-            )
-            o = _select(gen_mask, o, freeze_und(o))
-        else:
-            o = _linear(att, attn_u["o"], precision)
-        x = res + o.astype(res.dtype)
-
-        res = x
-
-        def ffn(mlp, pln):
-            z = rms_norm(x, pln, eps)
-            return _linear(_ffn_mix(z, mlp, precision), mlp["down"], precision)
-
-        if cfg.use_moe:
-            pln_g = lp["post_ln_gen"] if mot else lp["post_ln"]
-            m = _select(
-                gen_mask,
-                ffn(lp["mlp_gen"], pln_g),
-                freeze_und(ffn(lp["mlp"], lp["post_ln"])),
-            )
-        else:
-            m = ffn(lp["mlp"], lp["post_ln"])
-        x = res + m.astype(res.dtype)
-        return x, None
+        return train_layer_block(cfg, lp, x, attend, gen_mask, cos, sin,
+                                 precision), None
 
     if remat:
         # per-layer activation checkpointing (the reference wraps decoder
@@ -726,6 +653,100 @@ def llm_forward_train(
     else:
         out = rms_norm(x, params["final_norm"], eps)
     return out
+
+
+def train_layer_block(cfg, lp, x, attend, gen_mask, cos, sin, precision=None):
+    """One decoder layer of the packed training forward: pre-norm attention
+    + FFN with the MoT dual-expert select (reference semantics
+    qwen2_navit.py:713-755). Shared by the lax.scan stack above and the
+    pipeline-parallel stage executor (parallel/pipeline.py)."""
+    s = x.shape[0]
+    h = cfg.num_attention_heads
+    kh = cfg.num_key_value_heads
+    hd = cfg.head_dim
+    mot = cfg.layer_module == "mot"
+    eps = cfg.rms_norm_eps
+
+    def freeze_und(z):
+        if cfg.freeze_und:
+            return _select(gen_mask, z, lax.stop_gradient(z))
+        return z
+
+    attn_u = lp["attn"]
+    attn_g = lp["attn_gen"] if mot else lp["attn"]
+    res = x
+    if mot:
+        y = _select(
+            gen_mask,
+            rms_norm(x, lp["input_ln_gen"], eps),
+            rms_norm(x, lp["input_ln"], eps),
+        )
+    else:
+        y = rms_norm(x, lp["input_ln"], eps)
+
+    def qkv(attn):
+        return _proj_qkv(y, attn, h, kh, hd, precision)
+
+    if mot:
+        qu, ku, vu = qkv(attn_u)
+        qg, kg, vg = qkv(attn_g)
+        q = jnp.where(gen_mask[:, None, None], qg, qu)
+        k = jnp.where(gen_mask[:, None, None], kg, ku)
+        v = jnp.where(gen_mask[:, None, None], vg, freeze_und(vu))
+    else:
+        q, k, v = qkv(attn_u)
+
+    if cfg.qk_norm:
+        def qknorm(z, w):
+            return rms_norm(z.astype(jnp.float32), w, eps)
+
+        if mot:
+            q = jnp.where(
+                gen_mask[:, None, None],
+                qknorm(q, attn_g["q_norm"]),
+                freeze_und(qknorm(q, attn_u["q_norm"])),
+            )
+            k = jnp.where(
+                gen_mask[:, None, None],
+                qknorm(k, attn_g["k_norm"]),
+                freeze_und(qknorm(k, attn_u["k_norm"])),
+            )
+        else:
+            q = qknorm(q, attn_u["q_norm"])
+            k = qknorm(k, attn_u["k_norm"])
+
+    q, k = apply_rope(q, k, cos, sin)
+    q = q.astype(v.dtype)
+    k = k.astype(v.dtype)
+    att = attend(q, k, v).reshape(s, h * hd)
+    if mot:
+        o = _select(
+            gen_mask,
+            _linear(att, attn_g["o"], precision),
+            _linear(att, attn_u["o"], precision),
+        )
+        o = _select(gen_mask, o, freeze_und(o))
+    else:
+        o = _linear(att, attn_u["o"], precision)
+    x = res + o.astype(res.dtype)
+
+    res = x
+
+    def ffn(mlp, pln):
+        z = rms_norm(x, pln, eps)
+        return _linear(_ffn_mix(z, mlp, precision), mlp["down"], precision)
+
+    if cfg.use_moe:
+        pln_g = lp["post_ln_gen"] if mot else lp["post_ln"]
+        m = _select(
+            gen_mask,
+            ffn(lp["mlp_gen"], pln_g),
+            freeze_und(ffn(lp["mlp"], lp["post_ln"])),
+        )
+    else:
+        m = ffn(lp["mlp"], lp["post_ln"])
+    x = res + m.astype(res.dtype)
+    return x
 
 
 # ---------------------------------------------------------------------------

@@ -88,8 +88,17 @@ def _path_str(path) -> str:
     return "/".join(parts)
 
 
-def param_pspec(path, leaf) -> P:
+def param_pspec(path, leaf, pipeline_axis=None) -> P:
     s = _path_str(path)
+    if pipeline_axis is not None:
+        # pipeline parallelism: LLM layer stacks shard their leading L axis
+        # over the stage axis (contiguous L/pp chunks == the stage-major
+        # [pp, L/pp, ...] layout parallel/pipeline.py reshapes into, so the
+        # shard_map picks the local stage up with zero communication);
+        # everything else replicates.
+        if re.search(r"llm/layers/", s):
+            return P(pipeline_axis)
+        return P()
     for pattern, spec in _PARAM_RULES:
         if re.search(pattern, s):
             # drop trailing axes the leaf doesn't have (e.g. stacked vs not)
@@ -99,16 +108,19 @@ def param_pspec(path, leaf) -> P:
     return P()
 
 
-def param_shardings(mesh: Mesh, params):
+def param_shardings(mesh: Mesh, params, pipeline_axis=None):
     """NamedSharding pytree matching `params`."""
     return jax.tree_util.tree_map_with_path(
-        lambda path, leaf: NamedSharding(mesh, param_pspec(path, leaf)), params
+        lambda path, leaf: NamedSharding(
+            mesh, param_pspec(path, leaf, pipeline_axis)
+        ),
+        params,
     )
 
 
-def shard_params(mesh: Mesh, params):
+def shard_params(mesh: Mesh, params, pipeline_axis=None):
     """Place a parameter pytree onto the mesh per the rule table."""
-    shardings = param_shardings(mesh, params)
+    shardings = param_shardings(mesh, params, pipeline_axis)
     return jax.tree.map(jax.device_put, params, shardings)
 
 

@@ -129,6 +129,14 @@ def parse_args(argv=None):
                    choices=[None, "dp", "fsdp", "tp"],
                    help="mesh axis to shard the packed sequence over "
                         "(ring attention; requires dp-batch of 1)")
+    p.add_argument("--pipeline_parallel", type=str, default=None,
+                   choices=[None, "fsdp"],
+                   help="mesh axis to stage the LLM layer stack over "
+                        "(GPipe microbatch pipeline; batch rows become "
+                        "microbatches — see parallel/pipeline.py)")
+    p.add_argument("--pp_microbatches", type=int, default=4,
+                   help="packed sequences per step when --pipeline_parallel "
+                        "is on (more microbatches = smaller bubble)")
     # logging / ckpt
     p.add_argument("--ckpt_dir", type=str, default="results/ckpt")
     p.add_argument("--save_every", type=int, default=2000)
@@ -150,6 +158,12 @@ def build_config(args) -> BagelConfig:
         if args.freeze_und:
             cfg = dataclasses.replace(
                 cfg, llm=dataclasses.replace(cfg.llm, freeze_und=True)
+            )
+        if args.num_hidden_layers:
+            cfg = dataclasses.replace(
+                cfg, llm=dataclasses.replace(
+                    cfg.llm, num_hidden_layers=args.num_hidden_layers
+                )
             )
         return cfg
     if args.llm_config:
@@ -205,6 +219,13 @@ def make_grad_and_apply(cfg, tx, args, mesh=None):
         (mesh, args.context_parallel)
         if getattr(args, "context_parallel", None) else None
     )
+    pp = (
+        (mesh, args.pipeline_parallel)
+        if getattr(args, "pipeline_parallel", None) else None
+    )
+    assert not (cp and pp), (
+        "--context_parallel and --pipeline_parallel are exclusive"
+    )
 
     def grad_step(params, batch, noise):
         (loss, metrics), grads = jax.value_and_grad(
@@ -212,6 +233,7 @@ def make_grad_and_apply(cfg, tx, args, mesh=None):
                 p, cfg, batch, noise, args.ce_weight, args.mse_weight,
                 attn_chunk=args.attn_chunk, context_parallel=cp,
                 sparse_block=getattr(args, "sparse_block", None),
+                pipeline_parallel=pp,
             ),
             has_aux=True,
         )(params)
@@ -258,7 +280,8 @@ def main(argv=None):
         params = init_bagel_params(jax.random.PRNGKey(args.seed), cfg,
                                    dtype=jnp.float32)
     with mesh:
-        params = shard_params(mesh, params)
+        params = shard_params(mesh, params,
+                              pipeline_axis=args.pipeline_parallel)
         tx = make_optimizer(
             make_lr_schedule(args.lr, args.warmup_steps, args.total_steps,
                              args.lr_scheduler, args.min_lr),
@@ -387,6 +410,12 @@ def main(argv=None):
     # the dp mesh dim (one sequence per dp slice, like one packed batch per
     # reference rank)
     dp = shape[0]
+    if args.pipeline_parallel:
+        # batch rows are GPipe microbatches, replicated over the mesh (the
+        # stage axis shards layers, not data); pack enough to keep the
+        # bubble fraction (pp-1)/(B+pp-1) small
+        assert dp == 1, "--pipeline_parallel needs mesh dp=1"
+        dp = max(args.pp_microbatches, 2)
     seqsq_acc = jnp.float32(0.0)
     # --profile_dir traces a 2-step window AFTER the compile step (tracing
     # the whole run would dump gigabytes; the reference has no tracer at

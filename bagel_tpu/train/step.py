@@ -24,7 +24,11 @@ import jax.numpy as jnp
 import optax
 
 from bagel_tpu.configs import BagelConfig
-from bagel_tpu.models.bagel import PackedTrainBatch, bagel_forward_train
+from bagel_tpu.models.bagel import (
+    PackedTrainBatch,
+    bagel_forward_train,
+    bagel_forward_train_pp,
+)
 
 
 @jax.tree_util.register_dataclass
@@ -92,8 +96,17 @@ def compute_losses(
     attn_chunk=None,
     context_parallel=None,
     sparse_block=None,
+    pipeline_parallel=None,  # (Mesh, axis_name): GPipe over the layer stack
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
-    if context_parallel is not None:
+    if pipeline_parallel is not None:
+        # batch rows become pipeline microbatches flowing through the
+        # stage-sharded layer stack (parallel/pipeline.py)
+        pp_mesh, pp_axis = pipeline_parallel
+        outs = bagel_forward_train_pp(
+            params, cfg, batch, noise, pp_mesh, pp_axis,
+            precision=precision, attn_chunk=attn_chunk,
+        )
+    elif context_parallel is not None:
         # ring attention shard_maps inside the forward; vmap over batch is
         # not supported — context parallelism targets one huge sequence.
         assert batch.position_ids.shape[0] == 1, "context_parallel needs B=1"

@@ -828,8 +828,10 @@ def main():
                        timeout=1200)
             if r and "train_s" in r:
                 train_point = (4, r["train_s"], r["train_tokens"])
-        # int4 full-depth decode: half the weight bytes of int8 — the
-        # bandwidth-bound decode's fastest serving config
+        # int4 full-depth decode: half the weight bytes at rest, but the
+        # nibble unpack is VPU-bound on v5e so it runs SLOWER than w8a8
+        # (NOTES r3 session 2) — measured here as the footprint option's
+        # honest speed cost
         if _remaining() > 600:
             r = _spawn("decode", FULL_DEPTH, "int4", image, steps,
                        args.schedule, timeout=1200)

@@ -163,3 +163,20 @@ def test_data_status_gather_roundtrip():
     assert data_status_for_process(gathered, 1) == {}
     # legacy single-host layout (dataset names at top level)
     assert data_status_for_process(status, 0) == status
+
+
+def test_driver_pipeline_parallel(corpus, tmp_path):
+    """--pipeline_parallel fsdp: layer stack staged over the fsdp mesh
+    axis, batch rows flowing through as GPipe microbatches."""
+    from bagel_tpu.train import driver
+
+    driver.main([
+        "--preset", "micro", "--mock_tokenizer",
+        "--dataset_config", str(corpus / "data.yaml"),
+        "--ckpt_dir", str(tmp_path / "ckpt_pp"),
+        "--total_steps", "2", "--save_every", "100", "--log_every", "1",
+        "--expected_num_tokens", "200", "--max_num_tokens", "260",
+        "--max_num_tokens_per_sample", "250", "--warmup_steps", "1",
+        "--mesh", "1,4,2", "--pipeline_parallel", "fsdp",
+        "--pp_microbatches", "3", "--num_hidden_layers", "4",
+    ])

@@ -225,12 +225,12 @@ def test_int4_fused_matmul_kernel_matches_dequant():
     leaf = quantize_weight_int4(w, group=128)
     for m in (1, 3, 8):
         x = jnp.asarray(rng.standard_normal((m, in_)).astype(np.float32))
-        # fp32 dequant reference: the kernel keeps nibbles exact and
-        # applies scales after accumulation, so it is MORE precise than
-        # the bf16-dequant XLA path — compare against fp32
+        # bf16-dequant reference — the exact arithmetic of the XLA
+        # serving path (the kernel folds (w-8)*scale to bf16 per element,
+        # the same rounding dequantize_weight4(..., bf16) applies)
         want = jnp.dot(
-            x.astype(jnp.bfloat16).astype(jnp.float32),
-            dequantize_weight4(leaf, jnp.float32),
+            x.astype(jnp.bfloat16),
+            dequantize_weight4(leaf, jnp.bfloat16),
             preferred_element_type=jnp.float32,
         )
         got = int4_matmul(x, leaf["w_p4"], leaf["scale4"], interpret=True)
@@ -238,6 +238,30 @@ def test_int4_fused_matmul_kernel_matches_dequant():
             np.asarray(got, np.float32), np.asarray(want, np.float32),
             rtol=2e-2, atol=2e-2,
         )
+
+
+def test_int4_kernel_padded_kgroups():
+    """nk > _KT_MAX forces zero-padded tail k-groups (the `down` matmul,
+    in=18944 -> nk=148, pads to 192): padding must contribute nothing."""
+    import jax.numpy as jnp
+
+    from bagel_tpu.ops import int4_matmul as m4
+    from bagel_tpu.utils.quant import dequantize_weight4, quantize_weight_int4
+
+    rng = np.random.default_rng(1)
+    in_, out = (m4._KT_MAX + 2) * m4.GROUP, 512  # nk = _KT_MAX + 2 -> pads
+    w = jnp.asarray(rng.standard_normal((in_, out)).astype(np.float32) * 0.1)
+    leaf = quantize_weight_int4(w, group=m4.GROUP)
+    x = jnp.asarray(rng.standard_normal((2, in_)).astype(np.float32))
+    want = jnp.dot(
+        x.astype(jnp.bfloat16), dequantize_weight4(leaf, jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+    got = m4.int4_matmul(x, leaf["w_p4"], leaf["scale4"], interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        rtol=2e-2, atol=2e-2,
+    )
 
 
 def test_int4_kernel_wide_shapes():
@@ -251,8 +275,8 @@ def test_int4_kernel_wide_shapes():
     w = jnp.asarray(rng.standard_normal((in_, out)).astype(np.float32) * 0.1)
     leaf = quantize_weight_int4(w, group=128)
     x = jnp.asarray(rng.standard_normal((5, in_)).astype(np.float32))
-    want = jnp.dot(x.astype(jnp.bfloat16).astype(jnp.float32),
-                   dequantize_weight4(leaf, jnp.float32),
+    want = jnp.dot(x.astype(jnp.bfloat16),
+                   dequantize_weight4(leaf, jnp.bfloat16),
                    preferred_element_type=jnp.float32)
     got = int4_matmul(x, leaf["w_p4"], leaf["scale4"], interpret=True)
     np.testing.assert_allclose(np.asarray(got, np.float32),
