@@ -235,6 +235,7 @@ def bagel_forward_train(
     attn_chunk=None,
     context_parallel=None,
     sparse_block=None,
+    expert_parallel=None,  # (Mesh, axis): MoT experts sharded 2-way
 ) -> Dict[str, jax.Array]:
     """Packed training forward -> per-element losses.
 
@@ -257,11 +258,21 @@ def bagel_forward_train(
     else:  # long sequences: no dense [S, S] mask materialization
         mask = None
         meta = (batch.document_id, batch.fan_id, batch.noise_id)
-    hidden = qwen2.llm_forward_train(
-        params["llm"], cfg.llm, seq, batch.position_ids, mask,
-        batch.gen_mask, precision, mask_meta=meta, attn_chunk=attn_chunk,
-        context_parallel=context_parallel, sparse_block=sparse_block,
-    )
+    if expert_parallel is not None:
+        from bagel_tpu.parallel.expert import ep_llm_forward_train
+
+        ep_mesh, ep_axis = expert_parallel
+        hidden = ep_llm_forward_train(
+            params["llm"], cfg.llm, seq, batch.position_ids, mask,
+            batch.gen_mask, ep_mesh, ep_axis, precision,
+            mask_meta=meta, attn_chunk=attn_chunk,
+        )
+    else:
+        hidden = qwen2.llm_forward_train(
+            params["llm"], cfg.llm, seq, batch.position_ids, mask,
+            batch.gen_mask, precision, mask_meta=meta, attn_chunk=attn_chunk,
+            context_parallel=context_parallel, sparse_block=sparse_block,
+        )
     return _train_heads(params, cfg, batch, noise, hidden, timesteps,
                         precision)
 

@@ -137,6 +137,11 @@ def parse_args(argv=None):
     p.add_argument("--pp_microbatches", type=int, default=4,
                    help="packed sequences per step when --pipeline_parallel "
                         "is on (more microbatches = smaller bubble)")
+    p.add_argument("--expert_parallel", type=str, default=None,
+                   choices=[None, "fsdp", "tp"],
+                   help="size-2 mesh axis to shard the MoT und/gen expert "
+                        "pair over (each device runs one expert's matmuls; "
+                        "masked psum routes — see parallel/expert.py)")
     # logging / ckpt
     p.add_argument("--ckpt_dir", type=str, default="results/ckpt")
     p.add_argument("--save_every", type=int, default=2000)
@@ -223,9 +228,19 @@ def make_grad_and_apply(cfg, tx, args, mesh=None):
         (mesh, args.pipeline_parallel)
         if getattr(args, "pipeline_parallel", None) else None
     )
-    assert not (cp and pp), (
-        "--context_parallel and --pipeline_parallel are exclusive"
+    ep = (
+        (mesh, args.expert_parallel)
+        if getattr(args, "expert_parallel", None) else None
     )
+    assert sum(map(bool, (cp, pp, ep))) <= 1, (
+        "--context_parallel / --pipeline_parallel / --expert_parallel "
+        "are exclusive"
+    )
+    if ep is not None:
+        assert mesh.shape[args.expert_parallel] == 2, (
+            f"--expert_parallel axis '{args.expert_parallel}' must have "
+            f"size 2 (und/gen), got {mesh.shape[args.expert_parallel]}"
+        )
 
     def grad_step(params, batch, noise):
         (loss, metrics), grads = jax.value_and_grad(
@@ -233,7 +248,7 @@ def make_grad_and_apply(cfg, tx, args, mesh=None):
                 p, cfg, batch, noise, args.ce_weight, args.mse_weight,
                 attn_chunk=args.attn_chunk, context_parallel=cp,
                 sparse_block=getattr(args, "sparse_block", None),
-                pipeline_parallel=pp,
+                pipeline_parallel=pp, expert_parallel=ep,
             ),
             has_aux=True,
         )(params)

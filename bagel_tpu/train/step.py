@@ -97,6 +97,7 @@ def compute_losses(
     context_parallel=None,
     sparse_block=None,
     pipeline_parallel=None,  # (Mesh, axis_name): GPipe over the layer stack
+    expert_parallel=None,  # (Mesh, axis_name): MoT experts sharded 2-way
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     if pipeline_parallel is not None:
         # batch rows become pipeline microbatches flowing through the
@@ -118,7 +119,8 @@ def compute_losses(
         outs = jax.vmap(
             lambda b, n: bagel_forward_train(params, cfg, b, n, precision,
                                              attn_chunk=attn_chunk,
-                                             sparse_block=sparse_block)
+                                             sparse_block=sparse_block,
+                                             expert_parallel=expert_parallel)
         )(batch, noise)
 
     ce_w = outs["ce_weight"]

@@ -180,3 +180,19 @@ def test_driver_pipeline_parallel(corpus, tmp_path):
         "--mesh", "1,4,2", "--pipeline_parallel", "fsdp",
         "--pp_microbatches", "3", "--num_hidden_layers", "4",
     ])
+
+
+def test_driver_expert_parallel(corpus, tmp_path):
+    """--expert_parallel tp: each device of the size-2 tp axis runs one
+    MoT expert's matmuls; masked psums route by token modality."""
+    from bagel_tpu.train import driver
+
+    driver.main([
+        "--preset", "micro", "--mock_tokenizer",
+        "--dataset_config", str(corpus / "data.yaml"),
+        "--ckpt_dir", str(tmp_path / "ckpt_ep"),
+        "--total_steps", "2", "--save_every", "100", "--log_every", "1",
+        "--expected_num_tokens", "200", "--max_num_tokens", "260",
+        "--max_num_tokens_per_sample", "250", "--warmup_steps", "1",
+        "--mesh", "2,2,2", "--expert_parallel", "tp",
+    ])
