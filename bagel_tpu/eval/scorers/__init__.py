@@ -13,6 +13,12 @@ are unit-testable offline and swappable for the official models online.
   mmbench  — option-letter extraction + circular consistency
              (eval/vlm/eval/mmbench/evaluate_mmbench.py)
   pope     — yes/no F1 (eval/vlm/eval/pope/eval_pope.py)
+  vqa      — EvalAI soft accuracy / ANLS / relaxed / exact-match
+             (eval/vlm/eval/vqa/{evaluate_vqa,textvqa_eval}.py)
+  mmvp     — paired-question accuracy + option mapping
+             (eval/vlm/eval/mmvp/evaluate_mmvp.py)
+  mmvet    — GPT-grader protocol (<AND>/<OR> algebra, capability tables)
+             + official results.json export (eval/vlm/eval/mmvet/*)
   judge    — generic GPT-judge workers: WISE WiScore and VIEScore/GEdit
              SC/PQ aggregation (eval/gen/wise/*, eval/gen/gedit/*)
 """
@@ -42,4 +48,17 @@ from bagel_tpu.eval.scorers.mmmu import (  # noqa: F401
     parse_multi_choice_response,
     parse_open_response,
 )
+from bagel_tpu.eval.scorers.mmvet import (  # noqa: F401
+    containment_score,
+    export_results as mmvet_export_results,
+    mmvet_score,
+)
+from bagel_tpu.eval.scorers.mmvp import mmvp_score  # noqa: F401
 from bagel_tpu.eval.scorers.pope import pope_score  # noqa: F401
+from bagel_tpu.eval.scorers.vqa import (  # noqa: F401
+    anls_score,
+    exact_match_accuracy,
+    normalize_answer,
+    relaxed_accuracy,
+    vqa_accuracy,
+)

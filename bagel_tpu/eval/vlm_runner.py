@@ -332,6 +332,50 @@ def score_mathvista(results: List[dict], judge=None) -> Dict:
     return mathvista_score(rows)
 
 
+def score_vqa(results: List[dict]) -> Dict:
+    """Published EvalAI soft accuracy (vqav2/okvqa/textvqa/vizwiz — rows
+    carry gt_answers, the 10 annotator strings)."""
+    from bagel_tpu.eval.scorers.vqa import vqa_accuracy
+
+    return {"vqa_score": vqa_accuracy(results)}
+
+
+def score_anls(results: List[dict]) -> Dict:
+    """DocVQA/InfographicsVQA ANLS."""
+    from bagel_tpu.eval.scorers.vqa import anls_score
+
+    return {"anls": anls_score(results)}
+
+
+def score_relaxed(results: List[dict]) -> Dict:
+    """ChartQA relaxed accuracy (5% numeric tolerance)."""
+    from bagel_tpu.eval.scorers.vqa import relaxed_accuracy
+
+    return {"relaxed_accuracy": relaxed_accuracy(results)}
+
+
+def score_vqa_exact(results: List[dict]) -> Dict:
+    """gqa/ocrvqa/ai2d max-over-annotations exact match."""
+    from bagel_tpu.eval.scorers.vqa import exact_match_accuracy
+
+    return {"accuracy": exact_match_accuracy(results)}
+
+
+def score_mmvp(results: List[dict]) -> Dict:
+    """MMVP paired accuracy (both questions of a pair must be right)."""
+    from bagel_tpu.eval.scorers.mmvp import mmvp_score
+
+    return mmvp_score(results)
+
+
+def score_mmvet(results: List[dict], judge=None) -> Dict:
+    """MM-Vet grading protocol + capability tables; offline containment
+    fallback without a judge."""
+    from bagel_tpu.eval.scorers.mmvet import mmvet_score
+
+    return mmvet_score(results, judge=judge)
+
+
 SCORERS = {
     "yesno": score_yesno,
     "choice": score_choice,
@@ -343,8 +387,14 @@ SCORERS = {
     "mathvista": score_mathvista,
     "mmbench": score_mmbench,
     "pope": score_pope,
+    "vqa": score_vqa,
+    "anls": score_anls,
+    "relaxed": score_relaxed,
+    "vqa_exact": score_vqa_exact,
+    "mmvp": score_mmvp,
+    "mmvet": score_mmvet,
 }
-_JUDGE_SCORERS = {"mmmu_cot", "mathvista"}
+_JUDGE_SCORERS = {"mmmu_cot", "mathvista", "mmvet"}
 
 
 def main(argv=None):
