@@ -223,6 +223,97 @@ def prep_mathvista(out_jsonl: str, image_dir: str,
     return n
 
 
+def prep_mmvp(root: str, out_jsonl: str) -> int:
+    """MMVP release dir (Questions.csv + 'MMVP Images/') -> paired runner
+    rows. Question text = question + lettered options + the option-letter
+    prompt; gt '(a)' -> 'A' (evaluate_mmvp.py:59-95)."""
+    from bagel_tpu.eval.scorers.mmvp import normalize_gt, parse_options
+
+    n = 0
+    with open(os.path.join(root, "Questions.csv"), newline="",
+              encoding="utf-8") as f, open(out_jsonl, "w") as out:
+        for row in csv.DictReader(f):
+            data_id = row.get("lndex") or row["Index"]  # sic: source typo
+            options = parse_options(row["Options"])
+            q = row["Question"]
+            for letter, text in options.items():
+                q += f"\n{letter}. {text}"
+            q += "\n" + MMBENCH_PROMPT_EN
+            out.write(json.dumps({
+                "index": data_id,
+                "question": q,
+                "image": os.path.join("MMVP Images", f"{data_id}.jpg"),
+                "answer": normalize_gt(row.get("Correct Answer", "")),
+                "options": options,
+            }) + "\n")
+            n += 1
+    return n
+
+
+def prep_vqa(test_jsonl: str, out_jsonl: str,
+             annotation_json: str = "", image_dir: str = "",
+             prompt: str = MME_PROMPT) -> int:
+    """Reference VQA test jsonl ({image, question, question_id, answer?})
+    joined with the official annotations json ({'annotations': [{question_id,
+    answers: [{answer}, ...]}]}) -> rows carrying gt_answers for the EvalAI
+    soft scorer (evaluate_vqa.py:243-263, 423-434). Without annotations the
+    per-row 'answer' field rides along (anls/relaxed/exact suites)."""
+    qid2answers = {}
+    if annotation_json:
+        with open(annotation_json) as f:
+            for item in json.load(f)["annotations"]:
+                qid2answers[item["question_id"]] = [
+                    a["answer"] for a in item["answers"]
+                ]
+    n = 0
+    with open(test_jsonl) as f, open(out_jsonl, "w") as out:
+        for line in f:
+            if not line.strip():
+                continue
+            row = json.loads(line)
+            qid = row.get("question_id", n)
+            rec = {
+                "index": qid,
+                "question": (row.get("question") or row.get("text", ""))
+                + (" " + prompt if prompt else ""),
+                "image": os.path.join(image_dir, row["image"]),
+                "answer": row.get("answer", ""),
+            }
+            if qid in qid2answers:
+                rec["gt_answers"] = qid2answers[qid]
+            elif row.get("answer") is not None:
+                rec["annotation"] = row["answer"]
+            out.write(json.dumps(rec) + "\n")
+            n += 1
+    return n
+
+
+def prep_mmvet(questions_jsonl: str, out_jsonl: str,
+               image_dir: str = "") -> int:
+    """MM-Vet llava-format jsonl ({question_id, image, text, answer?,
+    capability?}) -> runner rows (evaluate_mmvet.py:43-56; no prompt
+    suffix — free-form answers)."""
+    n = 0
+    with open(questions_jsonl) as f, open(out_jsonl, "w") as out:
+        for line in f:
+            if not line.strip():
+                continue
+            row = json.loads(line)
+            caps = row.get("capability")
+            if isinstance(caps, list):
+                caps = ",".join(caps)
+            out.write(json.dumps({
+                "index": row.get("question_id", n),
+                "question_id": row.get("question_id", n),
+                "question": row.get("text") or row.get("question", ""),
+                "image": os.path.join(image_dir, row["image"]),
+                "answer": row.get("answer", ""),
+                "capability": caps or "",
+            }) + "\n")
+            n += 1
+    return n
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser("bagel_tpu benchmark data prep")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -249,6 +340,21 @@ def main(argv=None):
     v.add_argument("--out", required=True)
     v.add_argument("--image_dir", required=True)
     v.add_argument("--split", default="testmini")
+    mp = sub.add_parser("mmvp")
+    mp.add_argument("--root", required=True,
+                    help="MMVP release dir (Questions.csv + 'MMVP Images/')")
+    mp.add_argument("--out", required=True)
+    vq = sub.add_parser("vqa")
+    vq.add_argument("--test", required=True)
+    vq.add_argument("--out", required=True)
+    vq.add_argument("--annotation", default="",
+                    help="official annotations json (vqa_score suites)")
+    vq.add_argument("--image_dir", default="")
+    vq.add_argument("--prompt", default=MME_PROMPT)
+    mv = sub.add_parser("mmvet")
+    mv.add_argument("--questions", required=True)
+    mv.add_argument("--out", required=True)
+    mv.add_argument("--image_dir", default="")
     args = ap.parse_args(argv)
 
     if args.cmd == "mmbench":
@@ -261,6 +367,13 @@ def main(argv=None):
         n = prep_wise(args.prompts, args.out)
     elif args.cmd == "mmmu":
         n = prep_mmmu(args.out, args.image_dir, args.split)
+    elif args.cmd == "mmvp":
+        n = prep_mmvp(args.root, args.out)
+    elif args.cmd == "vqa":
+        n = prep_vqa(args.test, args.out, args.annotation, args.image_dir,
+                     args.prompt)
+    elif args.cmd == "mmvet":
+        n = prep_mmvet(args.questions, args.out, args.image_dir)
     else:
         n = prep_mathvista(args.out, args.image_dir, args.split)
     print(f"wrote {n} rows to {args.out}")

@@ -1,6 +1,7 @@
 """VQA-family / MMVP / MM-Vet scorer tests (reference
 eval/vlm/eval/{vqa,mmvp,mmvet}/*)."""
 
+import json
 import random
 
 from bagel_tpu.eval.scorers.mmvet import (
@@ -220,3 +221,71 @@ def test_mmvet_export_format(tmp_path):
     export_results(rows, str(path))
     data = json.loads(path.read_text())
     assert data == {"v1_7": "seven", "v1_9": "nine"}
+
+
+# ---------------------------------------------------------------------------
+# data-prep converters (published formats -> runner jsonl)
+# ---------------------------------------------------------------------------
+
+
+def test_data_prep_mmvp(tmp_path):
+    from bagel_tpu.eval.data_prep import prep_mmvp
+
+    root = tmp_path / "MMVP"
+    root.mkdir()
+    (root / "Questions.csv").write_text(
+        "Index,Question,Options,Correct Answer\n"
+        '1,Which way?,(a) up (b) down,(a)\n'
+        '2,Which way?,(a) up (b) down,(b)\n'
+    )
+    out = tmp_path / "mmvp.jsonl"
+    assert prep_mmvp(str(root), str(out)) == 2
+    rows = [json.loads(x) for x in out.read_text().splitlines()]
+    assert rows[0]["answer"] == "A" and rows[1]["answer"] == "B"
+    assert rows[0]["options"] == {"A": "up", "B": "down"}
+    assert "A. up" in rows[0]["question"]
+    assert rows[0]["image"].endswith("MMVP Images/1.jpg")
+    # scored end-to-end through the paired scorer
+    from bagel_tpu.eval.scorers.mmvp import mmvp_score
+
+    for r in rows:
+        r["prediction"] = r["answer"]
+    assert mmvp_score(rows)["pair_accuracy"] == 1.0
+
+
+def test_data_prep_vqa_with_annotations(tmp_path):
+    from bagel_tpu.eval.data_prep import prep_vqa
+
+    test = tmp_path / "test.jsonl"
+    test.write_text(
+        json.dumps({"image": "i/1.jpg", "question": "How many?",
+                    "question_id": 11}) + "\n"
+    )
+    ann = tmp_path / "ann.json"
+    ann.write_text(json.dumps({"annotations": [
+        {"question_id": 11,
+         "answers": [{"answer": "2"}] * 7 + [{"answer": "two"}] * 3}
+    ]}))
+    out = tmp_path / "vqa.jsonl"
+    assert prep_vqa(str(test), str(out), str(ann)) == 1
+    row = json.loads(out.read_text())
+    assert row["gt_answers"] == ["2"] * 7 + ["two"] * 3
+    assert row["question"].endswith("single word or phrase.")
+    row["prediction"] = "two"
+    assert vqa_accuracy([row]) == 1.0  # normalization folds two -> 2
+
+
+def test_data_prep_mmvet(tmp_path):
+    from bagel_tpu.eval.data_prep import prep_mmvet
+
+    q = tmp_path / "q.jsonl"
+    q.write_text(json.dumps({
+        "question_id": 3, "image": "x.png", "text": "what?",
+        "answer": "cat <OR> dog", "capability": ["rec", "ocr"],
+    }) + "\n")
+    out = tmp_path / "mmvet.jsonl"
+    assert prep_mmvet(str(q), str(out)) == 1
+    row = json.loads(out.read_text())
+    assert row["capability"] == "rec,ocr"
+    row["prediction"] = "a dog"
+    assert mmvet_score([row])["total"] == 100.0
