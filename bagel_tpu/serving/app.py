@@ -104,6 +104,7 @@ def build_engine(args):
 
         params["llm"] = fuse_llm_params(params["llm"], inplace=True)
 
+    mesh = None
     if args.mesh:
         from bagel_tpu.parallel import make_mesh, shard_params
 
@@ -116,10 +117,12 @@ def build_engine(args):
         ImageTransform(64, 16, vae_stride, max_pixels=64 * 64)
     vit_tf = ImageTransform(980, 378, cfg.vit.patch_size) if args.checkpoint \
         else ImageTransform(56, 28, cfg.vit.patch_size, max_pixels=56 * 56)
-    return BagelEngine(
+    engine = BagelEngine(
         params, cfg, tokenizer, new_token_ids, max_kv=args.max_kv,
         vae_transform=vae_tf, vit_transform=vit_tf,
-    ), vae_tf, vit_tf
+    )
+    engine.mesh = mesh  # for runtime cache sharding (server.py, runtime.py)
+    return engine, vae_tf, vit_tf
 
 
 def _load_image(path, transform):

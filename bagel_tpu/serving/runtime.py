@@ -443,9 +443,11 @@ class ServingRuntime:
         lengths = np.asarray(self.cache.length)
         for i, s in enumerate(self.slot_state):
             if s is not None and int(lengths[i]) + self.decode_chunk > eng.max_kv:
-                s.req.future.set_result(eng.tokenizer.decode(s.produced))
-                self._retire(i)
+                # count before resolving the future: a client observing
+                # completion must see its request in the stats
                 self.stats["chat_done"] += 1
+                self._retire(i)
+                s.req.future.set_result(eng.tokenizer.decode(s.produced))
 
         start = np.full(b, eos, np.int32)
         pos = np.zeros(b, np.int32)
@@ -472,9 +474,9 @@ class ServingRuntime:
             s.produced.extend(new[:budget])
             self.stats["tokens_out"] += len(new[:budget])
             if hit_eos or len(s.produced) >= s.req.max_new_tokens:
-                s.req.future.set_result(eng.tokenizer.decode(s.produced))
-                self._retire(i)
                 self.stats["chat_done"] += 1
+                self._retire(i)
+                s.req.future.set_result(eng.tokenizer.decode(s.produced))
             else:
                 s.next_token = new[-1]
                 s.next_pos += self.decode_chunk
@@ -485,8 +487,9 @@ class ServingRuntime:
         except queue.Empty:
             return
         try:
-            req.future.set_result(self.engine(**req.kwargs))
-            self.stats["gen_done"] += 1
+            out = self.engine(**req.kwargs)
+            self.stats["gen_done"] += 1  # count before resolving (see above)
+            req.future.set_result(out)
         except Exception as e:
             req.future.set_error(e)
 

@@ -1,0 +1,223 @@
+"""HTTP serving API over the continuous-batching runtime.
+
+The reference serves through a Gradio UI only (app.py:146-613). Production
+deployment needs a programmatic surface: this module exposes the
+`ServingRuntime` scheduler (serving/runtime.py — slot-batched KV cache,
+chunked decode, mixed und/gen scheduling) over plain HTTP using only the
+standard library, so a reference user migrating here gets an API endpoint
+the original never had without adding a framework dependency.
+
+Endpoints (JSON in / JSON out; images are base64-encoded PNG):
+
+  GET  /healthz      -> {"ok": true}
+  GET  /v1/stats     -> runtime counters + slot occupancy
+  POST /v1/chat      {"prompt", "image"?, "max_tokens"?}        -> {"text"}
+  POST /v1/generate  {"prompt", "image"? (edit), "image_size"?,
+                      "num_timesteps"?, "cfg_text_scale"?,
+                      "cfg_img_scale"?, "cfg_renorm_type"?, "seed"?}
+                                                               -> {"image"}
+
+Requests run concurrently: the ThreadingHTTPServer hands each connection a
+thread that enqueues into the runtime and blocks on its Future, so chat
+requests from many clients share decode chunks (continuous batching) while
+generate jobs interleave between chunks.
+
+  python -m bagel_tpu.serving.server --checkpoint /path/to/BAGEL-7B-MoT \
+      [--mesh 1,8,1] [--quant w8a8] [--slots 16] [--port 8000]
+"""
+
+from __future__ import annotations
+
+import base64
+import io
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+import numpy as np
+
+_GEN_KEYS = {
+    "image_size", "num_timesteps", "cfg_text_scale", "cfg_img_scale",
+    "cfg_interval", "cfg_renorm_type", "cfg_renorm_min", "timestep_shift",
+}
+
+
+class BagelServer:
+    """Owns the runtime + transforms and translates HTTP payloads."""
+
+    def __init__(self, runtime, vae_tf, vit_tf,
+                 request_timeout: float = 3600.0):
+        self.runtime = runtime
+        self.vae_tf = vae_tf
+        self.vit_tf = vit_tf
+        self.request_timeout = request_timeout
+
+    # -- payload translation -------------------------------------------------
+
+    def _decode_image(self, b64: str, transform) -> np.ndarray:
+        from PIL import Image
+
+        from bagel_tpu.data.transforms import pil_img2rgb
+
+        img = Image.open(io.BytesIO(base64.b64decode(b64)))
+        return transform(pil_img2rgb(img))
+
+    @staticmethod
+    def _encode_image(arr: np.ndarray) -> str:
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.fromarray(arr).save(buf, format="PNG")
+        return base64.b64encode(buf.getvalue()).decode("ascii")
+
+    def chat(self, body: dict) -> dict:
+        prompt = body.get("prompt")
+        if not prompt:
+            raise ValueError("'prompt' is required")
+        image = None
+        if body.get("image"):
+            image = self._decode_image(body["image"], self.vit_tf)
+        if body.get("think"):
+            # think-mode decodes one session at a time — route through the
+            # runtime's exclusive-job queue (engine.__call__ understanding)
+            fut = self.runtime.submit_generate(
+                prompt, image=image, understanding_output=True, think=True,
+                max_think_token_n=body.get("max_tokens") or 512,
+            )
+            return {"text": fut.result(timeout=self.request_timeout)["text"]}
+        fut = self.runtime.submit_chat(
+            prompt, image=image, max_new_tokens=body.get("max_tokens"),
+        )
+        return {"text": fut.result(timeout=self.request_timeout)}
+
+    def generate(self, body: dict) -> dict:
+        import jax
+
+        kw = {k: body[k] for k in _GEN_KEYS if k in body}
+        size = kw.pop("image_size", None)
+        if size is not None:
+            hw = (size, size) if isinstance(size, int) else tuple(size)
+            kw["image_shapes"] = hw
+        if "seed" in body:
+            kw["rng"] = jax.random.PRNGKey(int(body["seed"]))
+        image = None
+        if body.get("image"):  # edit mode: source image through the VAE path
+            image = self._decode_image(body["image"], self.vae_tf)
+            # the reference edit path defaults to text_channel renorm
+            # (inferencer.py:215-225)
+            kw.setdefault("cfg_renorm_type", "text_channel")
+        fut = self.runtime.submit_generate(
+            body.get("prompt"), image=image, **kw,
+        )
+        out = fut.result(timeout=self.request_timeout)
+        arr = out["image"] if isinstance(out, dict) else out
+        return {"image": self._encode_image(np.asarray(arr)),
+                "shape": list(np.asarray(arr).shape[:2])}
+
+    def stats(self) -> dict:
+        rt = self.runtime
+        return {
+            **rt.stats,
+            "slots": rt.slots,
+            "slots_busy": sum(s is not None for s in rt.slot_state),
+            "queued_chat": rt.chat_q.qsize(),
+            "queued_gen": rt.gen_q.qsize(),
+        }
+
+
+def _make_handler(server: BagelServer):
+    class Handler(BaseHTTPRequestHandler):
+        # quiet per-request stderr logging; stats carry the counters
+        def log_message(self, *args):
+            pass
+
+        def _reply(self, code: int, payload: dict):
+            data = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._reply(200, {"ok": True})
+            elif self.path == "/v1/stats":
+                self._reply(200, server.stats())
+            else:
+                self._reply(404, {"error": f"no route {self.path}"})
+
+        def do_POST(self):
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                body = json.loads(self.rfile.read(n) or b"{}")
+            except (ValueError, json.JSONDecodeError) as e:
+                return self._reply(400, {"error": f"bad json: {e}"})
+            try:
+                if self.path == "/v1/chat":
+                    self._reply(200, server.chat(body))
+                elif self.path == "/v1/generate":
+                    self._reply(200, server.generate(body))
+                else:
+                    self._reply(404, {"error": f"no route {self.path}"})
+            except ValueError as e:
+                self._reply(400, {"error": str(e)})
+            except Exception as e:  # scheduler/engine failure
+                self._reply(500, {"error": f"{type(e).__name__}: {e}"})
+
+    return Handler
+
+
+def serve(server: BagelServer, host: str = "127.0.0.1",
+          port: int = 8000) -> ThreadingHTTPServer:
+    """Bind and return the HTTP server (caller decides foreground vs
+    thread; port=0 picks a free port, read it from
+    `httpd.server_address`)."""
+    httpd = ThreadingHTTPServer((host, port), _make_handler(server))
+    httpd.daemon_threads = True
+    return httpd
+
+
+def serve_in_thread(server: BagelServer, host: str = "127.0.0.1",
+                    port: int = 0):
+    """Test/embedding helper: returns (httpd, thread) already serving."""
+    httpd = serve(server, host, port)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    return httpd, t
+
+
+def main(argv: Optional[list] = None):
+    from bagel_tpu.serving.app import build_engine, parse_args
+    from bagel_tpu.serving.runtime import ServingRuntime
+
+    import argparse
+
+    ap = argparse.ArgumentParser("bagel_tpu http server", add_help=False)
+    ap.add_argument("--host", type=str, default="127.0.0.1")
+    ap.add_argument("--slots", type=int, default=8)
+    ap.add_argument("--decode_chunk", type=int, default=16)
+    own, rest = ap.parse_known_args(argv)
+    args = parse_args(rest)
+
+    engine, vae_tf, vit_tf = build_engine(args)
+    mesh = getattr(engine, "mesh", None)
+    rt = ServingRuntime(engine, slots=own.slots,
+                        decode_chunk=own.decode_chunk, mesh=mesh)
+    rt.start()
+    server = BagelServer(rt, vae_tf, vit_tf)
+    httpd = serve(server, own.host, args.port)
+    print(f"bagel_tpu serving on http://{own.host}:{args.port} "
+          f"(slots={own.slots})")
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        httpd.shutdown()
+        rt.stop()
+
+
+if __name__ == "__main__":
+    main()
