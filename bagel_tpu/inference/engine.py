@@ -452,8 +452,16 @@ class BagelEngine:
         timestep_shift: float = 3.0,
         enable_taylorseer: bool = False,
         rng: Optional[jax.Array] = None,
+        init_noise: Optional[np.ndarray] = None,
+        return_latent: bool = False,
     ) -> np.ndarray:
-        """Rectified-flow T2I / edit generation. Returns HWC uint8 image."""
+        """Rectified-flow T2I / edit generation. Returns HWC uint8 image.
+
+        init_noise: optional [h*w, patch_latent_dim] array overriding the
+        rng draw of x_1 (reproducibility / matched-seed parity vs the
+        reference's packed_init_noises, bagel.py:579). return_latent: skip
+        the VAE and return the final packed latent x_0 (fidelity-gate
+        comparisons against generate_image's unpacked_latent)."""
         cfg = self.cfg
         H, W = image_shape
         down = cfg.latent_downsample
@@ -462,7 +470,11 @@ class BagelEngine:
         pd = cfg.patch_latent_dim
         if rng is None:
             rng = jax.random.PRNGKey(0)
-        x_t = jax.random.normal(rng, (n, pd), jnp.float32)
+        if init_noise is not None:
+            x_t = jnp.asarray(init_noise, jnp.float32)
+            assert x_t.shape == (n, pd), (x_t.shape, (n, pd))
+        else:
+            x_t = jax.random.normal(rng, (n, pd), jnp.float32)
         lat_pos = jnp.asarray(np.asarray(self._pos_ids(H, W, down, cfg.max_latent_size)))
 
         ts, dts = shifted_timesteps(num_timesteps, timestep_shift)
@@ -567,6 +579,8 @@ class BagelEngine:
             x_t = run(x_t, idx_on, branches, cfg_text_scale, cfg_img_scale)
             x_t = run(x_t, idx_off, [ctx], 1.0, 1.0)
 
+        if return_latent:
+            return np.asarray(x_t)
         z = unpatchify_latent(x_t, h, w, cfg.latent_patch_size, cfg.latent_channel)
         img = vae_decode(self.params["vae"], cfg.vae, z[None])[0]
         img = np.asarray(jnp.clip(img * 0.5 + 0.5, 0, 1) * 255).astype(np.uint8)

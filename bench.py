@@ -726,8 +726,8 @@ def main():
     ap.add_argument("--mode", default=None,
                     choices=[None, "denoise", "decode", "train", "serve", "main"],
                     help="internal: child runs one attempt and prints raw numbers")
-    ap.add_argument("--slots", type=int, default=8,
-                    help="serving-runtime bench slot count")
+    ap.add_argument("--slots", type=int, default=12,
+                    help="serving-runtime bench slot count (12 measured best\n                    single-chip: 437 tok/s vs 356 at 8; 16 OOMs w8a8 full depth)")
     ap.add_argument("--depth", type=int, default=None)
     ap.add_argument("--dtype", type=str, default="bf16",
                     choices=["bf16", "fp32", "int8", "w8a8", "int4"])
@@ -785,7 +785,7 @@ def main():
         # partial-stdout harvesting.
         main_cap = max(_remaining() * 0.7, _remaining() - 900)
         r = _spawn("main", FULL_DEPTH, "w8a8", image, steps, args.schedule,
-                   timeout=main_cap, slots=8)
+                   timeout=main_cap, slots=12)
         if r:
             if "elapsed" in r:
                 quant_denoise["w8a8"] = r["elapsed"]

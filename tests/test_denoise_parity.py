@@ -1,0 +1,214 @@
+"""Denoise-loop latent parity vs the reference (the BASELINE fidelity gate:
+per-denoise-step latent MAE <= 1e-2 under matched seeds).
+
+Runs the reference's ACTUAL generation protocol — prepare_prompts ->
+forward_cache_update_text -> prepare_vae_latent(+_cfg) -> generate_image
+(bagel.py:552-757, wired exactly as inferencer.py:98-170, flash replaced
+by a CPU oracle, bf16 casts neutralized) — against this framework's
+update_context_text + gen_image(init_noise=..., return_latent=True) on
+converted weights, with identical initial noise, timestep schedule, and a
+CFG window covering both the cfg-on and single-branch phases."""
+
+import contextlib
+
+import numpy as np
+import pytest
+import torch
+
+import refutil  # noqa: F401
+
+import jax
+import jax.numpy as jnp
+
+from bagel_tpu.configs import tiny_bagel
+from bagel_tpu.inference.engine import BagelEngine
+from bagel_tpu.utils.convert import convert_bagel
+
+
+def _cpu_varlen(q, k, v, cu_seqlens_q, cu_seqlens_k, max_seqlen_q,
+                max_seqlen_k, causal=False):
+    import torch.nn.functional as F
+
+    outs = []
+    for i in range(len(cu_seqlens_q) - 1):
+        qs, qe = int(cu_seqlens_q[i]), int(cu_seqlens_q[i + 1])
+        ks, ke = int(cu_seqlens_k[i]), int(cu_seqlens_k[i + 1])
+        qq = q[qs:qe].float().transpose(0, 1)[None]
+        kk = k[ks:ke].float().transpose(0, 1)[None]
+        vv = v[ks:ke].float().transpose(0, 1)[None]
+        if causal and qq.shape[2] < kk.shape[2]:
+            nq, nk = qq.shape[2], kk.shape[2]
+            mask = torch.arange(nk)[None, :] <= (
+                torch.arange(nq)[:, None] + (nk - nq)
+            )
+            o = F.scaled_dot_product_attention(
+                qq, kk, vv, attn_mask=mask[None, None], enable_gqa=True
+            )
+        else:
+            o = F.scaled_dot_product_attention(
+                qq, kk, vv, is_causal=causal, enable_gqa=True
+            )
+        outs.append(o[0].transpose(0, 1))
+    return torch.cat(outs, 0)
+
+
+@contextlib.contextmanager
+def _no_bf16_casts():
+    orig_to = torch.Tensor.to
+
+    def patched(self, *args, **kwargs):
+        if args and args[0] is torch.bfloat16:
+            return self
+        if kwargs.get("dtype") is torch.bfloat16:
+            kwargs = {**kwargs, "dtype": torch.float32}
+        return orig_to(self, *args, **kwargs)
+
+    torch.Tensor.to = patched
+    try:
+        yield
+    finally:
+        torch.Tensor.to = orig_to
+
+
+class _FakeTokenizer:
+    def encode(self, text):
+        return [(ord(c) * 7 + 13) % 200 for c in text]
+
+    def decode(self, ids):
+        return " ".join(str(i) for i in ids)
+
+
+NTID = dict(bos_token_id=500, eos_token_id=501,
+            start_of_image=502, end_of_image=503)
+
+
+@pytest.fixture(scope="module")
+def reference_gen_bagel():
+    """Reference Bagel in eval (inference-protocol) mode, gen side only."""
+    from modeling.bagel import bagel as ref_bagel_mod
+    from modeling.bagel import qwen2_navit as nav
+    from modeling.bagel import siglip_navit as ref_vit_mod
+    from modeling.autoencoder import AutoEncoderParams
+
+    cfg = tiny_bagel()
+    nav.flash_attn_varlen_func = _cpu_varlen
+    nav.sdpa_kernel = lambda backends: contextlib.nullcontext()
+
+    llm_cfg = nav.Qwen2Config(
+        vocab_size=cfg.llm.vocab_size,
+        hidden_size=cfg.llm.hidden_size,
+        intermediate_size=cfg.llm.intermediate_size,
+        num_hidden_layers=cfg.llm.num_hidden_layers,
+        num_attention_heads=cfg.llm.num_attention_heads,
+        num_key_value_heads=cfg.llm.num_key_value_heads,
+        rope_theta=cfg.llm.rope_theta,
+        rms_norm_eps=cfg.llm.rms_norm_eps,
+        qk_norm=True, layer_module="Qwen2MoTDecoderLayer",
+        tie_word_embeddings=False, freeze_und=False,
+        attn_implementation="eager",
+    )
+    vit_cfg = ref_vit_mod.SiglipVisionConfig(
+        hidden_size=cfg.vit.hidden_size,
+        intermediate_size=cfg.vit.intermediate_size,
+        num_hidden_layers=cfg.vit.num_hidden_layers,
+        num_attention_heads=cfg.vit.num_attention_heads,
+        image_size=cfg.vit.image_size, patch_size=cfg.vit.patch_size,
+        rope=True,
+    )
+    ae_params = AutoEncoderParams(
+        resolution=256, in_channels=3, downsample=cfg.vae.downsample,
+        ch=cfg.vae.ch, out_ch=3, ch_mult=list(cfg.vae.ch_mult),
+        num_res_blocks=cfg.vae.num_res_blocks, z_channels=cfg.vae.z_channels,
+        scale_factor=cfg.vae.scale_factor, shift_factor=cfg.vae.shift_factor,
+    )
+    torch.manual_seed(0)
+    lm = nav.Qwen2ForCausalLM(llm_cfg)
+    lm.init_moe()
+    vit = ref_vit_mod.SiglipVisionModel(vit_cfg)
+    vit.vision_model.embeddings.convert_conv2d_to_linear(vit_cfg)
+    ref_cfg = ref_bagel_mod.BagelConfig(
+        visual_gen=True, visual_und=True,
+        llm_config=llm_cfg, vit_config=vit_cfg, vae_config=ae_params,
+        latent_patch_size=cfg.latent_patch_size,
+        max_latent_size=cfg.max_latent_size,
+        vit_max_num_patch_per_side=cfg.vit_max_num_patch_per_side,
+        interpolate_pos=False, timestep_shift=cfg.timestep_shift,
+    )
+    model = ref_bagel_mod.Bagel(lm, vit, ref_cfg)
+    model.eval()
+    return cfg, model
+
+
+def test_denoise_latent_matches_reference(reference_gen_bagel):
+    from modeling.bagel.qwen2_navit import NaiveCache
+
+    cfg, model = reference_gen_bagel
+    L = cfg.llm.num_hidden_layers
+    tok = _FakeTokenizer()
+    prompt = "a cat on a mat"
+    H = W = 32
+    down = cfg.latent_downsample
+    n = (H // down) * (W // down)
+    pd = cfg.patch_latent_dim
+    rng = np.random.default_rng(7)
+    noise = rng.standard_normal((n, pd)).astype(np.float32)
+
+    # timestep_shift=1.0 with 5 steps puts t=[1,.75,.5,.25]: three cfg-on
+    # steps (t > 0.4) then one single-branch step — both phases covered
+    knobs = dict(num_timesteps=5, timestep_shift=1.0,
+                 cfg_interval=(0.4, 1.0), cfg_renorm_type="global",
+                 cfg_renorm_min=0.0, cfg_text_scale=2.0, cfg_img_scale=1.0)
+
+    # --- reference protocol (inferencer.py:98-170 wiring) -----------------
+    with _no_bf16_casts(), torch.no_grad():
+        cache = NaiveCache(L)
+        gi, newlens, newropes = model.prepare_prompts(
+            [0], [0], [prompt], tok, NTID
+        )
+        cache = model.forward_cache_update_text(cache, **gi)
+
+        gi_lat = model.prepare_vae_latent(newlens, newropes, [(H, W)], NTID)
+        gi_lat["packed_init_noises"] = torch.from_numpy(noise)
+        cfg_cache = NaiveCache(L)  # text-CFG branch: empty context
+        gi_cfg = model.prepare_vae_latent_cfg([0], [0], [(H, W)])
+
+        unpacked = model.generate_image(
+            past_key_values=cache,
+            cfg_text_past_key_values=cfg_cache,
+            cfg_img_past_key_values=None,
+            cfg_interval=list(knobs["cfg_interval"]),
+            num_timesteps=knobs["num_timesteps"],
+            timestep_shift=knobs["timestep_shift"],
+            cfg_renorm_type=knobs["cfg_renorm_type"],
+            cfg_renorm_min=knobs["cfg_renorm_min"],
+            cfg_text_scale=knobs["cfg_text_scale"],
+            cfg_img_scale=knobs["cfg_img_scale"],
+            **gi_lat,
+            cfg_text_packed_position_ids=gi_cfg["cfg_packed_position_ids"],
+            cfg_text_packed_query_indexes=gi_cfg["cfg_packed_query_indexes"],
+            cfg_text_key_values_lens=gi_cfg["cfg_key_values_lens"],
+            cfg_text_packed_key_value_indexes=gi_cfg[
+                "cfg_packed_key_value_indexes"],
+        )
+        ref_latent = unpacked[0].float().numpy()
+
+    # --- this framework on converted weights ------------------------------
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    params = convert_bagel(sd, cfg)
+    engine = BagelEngine(params, cfg, tok, NTID, max_kv=256)
+
+    with jax.default_matmul_precision("float32"):
+        ctx0 = engine.init_context()
+        ctx = engine.update_context_text(prompt, ctx0)
+        got = engine.gen_image(
+            (H, W), ctx, cfg_text_precontext=ctx0,
+            init_noise=noise, return_latent=True,
+            **{k: v for k, v in knobs.items()},
+        )
+
+    assert got.shape == ref_latent.shape
+    mae = np.abs(got - ref_latent).mean()
+    # BASELINE gate is 1e-2; fp32 end-to-end should sit far below it
+    assert mae < 1e-2, f"fidelity gate violated: MAE={mae}"
+    assert mae < 1e-3, f"unexpected drift: MAE={mae}"
+    np.testing.assert_allclose(got, ref_latent, rtol=5e-2, atol=5e-2)
