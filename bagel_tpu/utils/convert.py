@@ -258,3 +258,241 @@ def load_checkpoint_dir(path: str, cfg: BagelConfig, use_ema: bool = True) -> di
     ae_path = os.path.join(path, "ae.safetensors")
     vae_sd = load_file(ae_path) if os.path.exists(ae_path) else None
     return convert_bagel(sd, cfg, vae_sd)
+
+
+# ---------------------------------------------------------------------------
+# Export: bagel_tpu pytrees -> reference torch state dicts (the reverse
+# mapping — lets checkpoints trained here round-trip back into the
+# reference ecosystem / HF release layout, fsdp_utils.py:88-150 formats)
+# ---------------------------------------------------------------------------
+
+
+def _unstack_t(arr) -> Dict[int, np.ndarray]:
+    """[L, in, out] -> per-layer torch Linear [out, in]."""
+    a = np.asarray(arr)
+    return {i: np.ascontiguousarray(a[i].T) for i in range(a.shape[0])}
+
+
+def _unstack(arr) -> Dict[int, np.ndarray]:
+    a = np.asarray(arr)
+    return {i: np.ascontiguousarray(a[i]) for i in range(a.shape[0])}
+
+
+def _unconv(out: Dict[str, np.ndarray], name: str, p: dict) -> None:
+    out[name + ".weight"] = np.ascontiguousarray(
+        np.asarray(p["w"]).transpose(3, 2, 0, 1)  # HWIO -> OIHW
+    )
+    out[name + ".bias"] = np.asarray(p["b"])
+
+
+def _ungn(out: Dict[str, np.ndarray], name: str, p: dict) -> None:
+    out[name + ".weight"] = np.asarray(p["w"])
+    out[name + ".bias"] = np.asarray(p["b"])
+
+
+def export_llm(params: dict, cfg: Qwen2Config,
+               prefix: str = "language_model.") -> Dict[str, np.ndarray]:
+    L = cfg.num_hidden_layers
+    layers = params["layers"]
+    out: Dict[str, np.ndarray] = {}
+
+    def put(fmt, per_layer):
+        for i in range(L):
+            out[prefix + fmt.format(i)] = per_layer[i]
+
+    def attn(tree, g=""):
+        p = "model.layers.{0}.self_attn."
+        for k in ("q", "k", "v"):
+            put(p + f"{k}_proj{g}.weight", _unstack_t(tree[k]["w"]))
+            put(p + f"{k}_proj{g}.bias", _unstack(tree[k]["b"]))
+        put(p + f"o_proj{g}.weight", _unstack_t(tree["o"]["w"]))
+        if cfg.qk_norm:
+            put(p + f"q_norm{g}.weight", _unstack(tree["q_norm"]))
+            put(p + f"k_norm{g}.weight", _unstack(tree["k_norm"]))
+
+    def mlp(tree, g=""):
+        for ours, theirs in (("gate", "gate_proj"), ("up", "up_proj"),
+                             ("down", "down_proj")):
+            put("model.layers.{0}.mlp%s.%s.weight" % (g, theirs),
+                _unstack_t(tree[ours]))
+
+    attn(layers["attn"])
+    mlp(layers["mlp"])
+    put("model.layers.{0}.input_layernorm.weight",
+        _unstack(layers["input_ln"]))
+    put("model.layers.{0}.post_attention_layernorm.weight",
+        _unstack(layers["post_ln"]))
+    if cfg.layer_module == "mot":
+        attn(layers["attn_gen"], "_moe_gen")
+        put("model.layers.{0}.input_layernorm_moe_gen.weight",
+            _unstack(layers["input_ln_gen"]))
+        put("model.layers.{0}.post_attention_layernorm_moe_gen.weight",
+            _unstack(layers["post_ln_gen"]))
+    if cfg.use_moe:
+        mlp(layers["mlp_gen"], "_moe_gen")
+        out[prefix + "model.norm_moe_gen.weight"] = np.asarray(
+            params["final_norm_gen"]
+        )
+    out[prefix + "model.embed_tokens.weight"] = np.asarray(params["embed"])
+    out[prefix + "model.norm.weight"] = np.asarray(params["final_norm"])
+    out[prefix + "lm_head.weight"] = np.ascontiguousarray(
+        np.asarray(params["lm_head"]["w"]).T
+    )
+    return out
+
+
+def export_vit(params: dict, cfg: SiglipConfig,
+               prefix: str = "vit_model.") -> Dict[str, np.ndarray]:
+    L = cfg.num_hidden_layers
+    vp = prefix + "vision_model."
+    layers = params["layers"]
+    out: Dict[str, np.ndarray] = {}
+
+    def put(fmt, per_layer):
+        for i in range(L):
+            out[vp + f"encoder.layers.{i}.{fmt}"] = per_layer[i]
+
+    def pair(name, tree):
+        put(name + ".weight", _unstack_t(tree["w"]))
+        put(name + ".bias", _unstack(tree["b"]))
+
+    # patch embed back to the conv OIHW release form: [p*q*c, out] with
+    # (p, q, c) input order -> [out, c, p, q]
+    p = cfg.patch_size
+    pe = np.asarray(params["patch_embed"]["w"])  # [p*p*3, out]
+    o = pe.shape[1]
+    out[vp + "embeddings.patch_embedding.weight"] = np.ascontiguousarray(
+        pe.T.reshape(o, p, p, 3).transpose(0, 3, 1, 2)
+    )
+    out[vp + "embeddings.patch_embedding.bias"] = np.asarray(
+        params["patch_embed"]["b"]
+    )
+    pair("layer_norm1", layers["ln1"])
+    pair("layer_norm2", layers["ln2"])
+    pair("self_attn.q_proj", layers["attn"]["q"])
+    pair("self_attn.k_proj", layers["attn"]["k"])
+    pair("self_attn.v_proj", layers["attn"]["v"])
+    pair("self_attn.out_proj", layers["attn"]["o"])
+    pair("mlp.fc1", layers["mlp"]["fc1"])
+    pair("mlp.fc2", layers["mlp"]["fc2"])
+    _ungn(out, vp[:-1] + ".post_layernorm", params["post_ln"])
+    if "pos_embed" in params:
+        out[vp + "embeddings.position_embedding.weight"] = np.asarray(
+            params["pos_embed"]
+        )
+    else:
+        # 2-D RoPE persistent buffers (deterministic from config —
+        # siglip_navit.py:102-127,338-340); emitted so strict torch loads
+        # see a byte-complete state dict
+        max_size = cfg.image_size // cfg.patch_size
+        dim = (cfg.hidden_size // cfg.num_attention_heads) // 2
+        inv_freq = 1.0 / (10000.0 ** (np.arange(0, dim, 2) / dim))
+        grid = np.arange(max_size, dtype=np.float64)
+        gh = np.repeat(grid[:, None], max_size, axis=1)
+        gw = np.repeat(grid[None, :], max_size, axis=0)
+        for side, g in (("h", gh), ("w", gw)):
+            freqs = g[..., None] * inv_freq[None, None, :]
+            emb = np.concatenate([freqs, freqs], -1).reshape(
+                max_size * max_size, -1
+            ).astype(np.float32)
+            out[vp + f"rope.cos_{side}"] = np.cos(emb)
+            out[vp + f"rope.sin_{side}"] = np.sin(emb)
+    return out
+
+
+def export_vae(params: dict, cfg: VAEConfig) -> Dict[str, np.ndarray]:
+    out: Dict[str, np.ndarray] = {}
+
+    def res(name, tree):
+        _ungn(out, name + ".norm1", tree["norm1"])
+        _unconv(out, name + ".conv1", tree["conv1"])
+        _ungn(out, name + ".norm2", tree["norm2"])
+        _unconv(out, name + ".conv2", tree["conv2"])
+        if "shortcut" in tree:
+            _unconv(out, name + ".nin_shortcut", tree["shortcut"])
+
+    def attn(name, tree):
+        _ungn(out, name + ".norm", tree["norm"])
+        for k in ("q", "k", "v"):
+            _unconv(out, name + "." + k, tree[k])
+        _unconv(out, name + ".proj_out", tree["proj"])
+
+    enc, dec = params["encoder"], params["decoder"]
+    _unconv(out, "encoder.conv_in", enc["conv_in"])
+    for i, lvl in enumerate(enc["levels"]):
+        for j, blk in enumerate(lvl["blocks"]):
+            res(f"encoder.down.{i}.block.{j}", blk)
+        if "down" in lvl:
+            _unconv(out, f"encoder.down.{i}.downsample.conv", lvl["down"])
+    res("encoder.mid.block_1", enc["mid"]["block1"])
+    attn("encoder.mid.attn_1", enc["mid"]["attn"])
+    res("encoder.mid.block_2", enc["mid"]["block2"])
+    _ungn(out, "encoder.norm_out", enc["norm_out"])
+    _unconv(out, "encoder.conv_out", enc["conv_out"])
+    _unconv(out, "decoder.conv_in", dec["conv_in"])
+    res("decoder.mid.block_1", dec["mid"]["block1"])
+    attn("decoder.mid.attn_1", dec["mid"]["attn"])
+    res("decoder.mid.block_2", dec["mid"]["block2"])
+    for i, lvl in enumerate(dec["up"]):
+        for j, blk in enumerate(lvl["blocks"]):
+            res(f"decoder.up.{i}.block.{j}", blk)
+        if "up" in lvl:
+            _unconv(out, f"decoder.up.{i}.upsample.conv", lvl["up"])
+    _ungn(out, "decoder.norm_out", dec["norm_out"])
+    _unconv(out, "decoder.conv_out", dec["conv_out"])
+    return out
+
+
+def export_bagel(params: dict, cfg: BagelConfig) -> Dict[str, np.ndarray]:
+    """Pytree -> the reference Bagel state-dict key space (without the VAE,
+    which the release ships separately as ae.safetensors). Fixed sin-cos
+    tables are emitted under their reference names (vit_pos_embed.pos_embed
+    / latent_pos_embed.pos_embed, modeling_utils.py:127-144)."""
+    sd = export_llm(params["llm"], cfg.llm)
+    if cfg.visual_und and "vit" in params:
+        sd.update(export_vit(params["vit"], cfg.vit))
+        for k in ("fc1", "fc2"):
+            sd[f"connector.{k}.weight"] = np.ascontiguousarray(
+                np.asarray(params["connector"][k]["w"]).T
+            )
+            sd[f"connector.{k}.bias"] = np.asarray(
+                params["connector"][k]["b"]
+            )
+        sd["vit_pos_embed.pos_embed"] = np.asarray(params["vit_pos_embed"])
+    if cfg.visual_gen and "time_embed" in params:
+        for ours, theirs in (("fc1", "mlp.0"), ("fc2", "mlp.2")):
+            sd[f"time_embedder.{theirs}.weight"] = np.ascontiguousarray(
+                np.asarray(params["time_embed"][ours]["w"]).T
+            )
+            sd[f"time_embedder.{theirs}.bias"] = np.asarray(
+                params["time_embed"][ours]["b"]
+            )
+        for name in ("vae2llm", "llm2vae"):
+            sd[f"{name}.weight"] = np.ascontiguousarray(
+                np.asarray(params[name]["w"]).T
+            )
+            sd[f"{name}.bias"] = np.asarray(params[name]["b"])
+        sd["latent_pos_embed.pos_embed"] = np.asarray(
+            params["latent_pos_embed"]
+        )
+    return sd
+
+
+def save_checkpoint_dir(params: dict, cfg: BagelConfig, path: str,
+                        ema: bool = True) -> None:
+    """Write the HF release layout the reference loads (app.py:39-48):
+    model.safetensors (+ ema.safetensors alias when ema=True) and, when the
+    pytree carries VAE weights, ae.safetensors."""
+    from safetensors.numpy import save_file
+
+    os.makedirs(path, exist_ok=True)
+    sd = {k: np.asarray(v) for k, v in export_bagel(params, cfg).items()}
+    save_file(sd, os.path.join(path, "model.safetensors"))
+    if ema:
+        save_file(sd, os.path.join(path, "ema.safetensors"))
+    if "vae" in params:
+        save_file(
+            {k: np.asarray(v)
+             for k, v in export_vae(params["vae"], cfg.vae).items()},
+            os.path.join(path, "ae.safetensors"),
+        )
