@@ -5,6 +5,8 @@ import converter proves both the key names and the layout inverses: a
 wrong key would KeyError in convert_*, a wrong transpose/axis order would
 break exact equality."""
 
+import json
+
 import numpy as np
 
 import jax
@@ -153,3 +155,37 @@ def test_reference_model_loads_export_strict():
     missing, unexpected = model.load_state_dict(sd, strict=False)
     assert not unexpected, f"unexpected keys: {unexpected[:5]}"
     assert not missing, f"missing keys: {missing[:5]}"
+
+
+def test_export_hf_cli_from_orbax(tmp_path):
+    """Full workflow: Orbax train checkpoint -> HF release layout ->
+    re-importable weights equal to the EMA params."""
+    import optax
+
+    from bagel_tpu.configs import tiny_bagel as _tiny
+    from bagel_tpu.train.checkpoint import save_checkpoint
+    from bagel_tpu.train.step import init_train_state
+    from bagel_tpu.utils.export_hf import export_checkpoint
+
+    cfg = _tiny()
+    params = init_bagel_params(jax.random.PRNGKey(4), cfg, jnp.float32)
+    state = init_train_state(params, optax.adam(1e-3), use_ema=True)
+    # perturb raw params so EMA vs raw is distinguishable
+    import dataclasses as _dc
+
+    state = _dc.replace(state, params=jax.tree.map(lambda a: a + 1.0,
+                                                   state.params))
+    ck = tmp_path / "ckpt"
+    save_checkpoint(str(ck), 7, state, cfg=cfg)
+
+    out = tmp_path / "hf"
+    export_checkpoint(str(ck), str(out))  # root path -> latest step
+    back = load_checkpoint_dir(str(out), cfg)
+    want = dict(params)
+    has_vae = (out / "ae.safetensors").exists()
+    if not has_vae:
+        want.pop("vae", None)
+    _assert_trees_equal(want, back)  # EMA == original (pre-perturb) params
+
+    meta = json.loads((out / "export_meta.json").read_text())
+    assert meta["weights"] == "ema" and meta["step"] == 0
