@@ -37,7 +37,7 @@ import dataclasses
 import queue
 import threading
 from functools import partial
-from typing import List, Optional
+from typing import Callable, List, Optional
 
 import numpy as np
 
@@ -87,6 +87,10 @@ class _ChatRequest:
     image: Optional[np.ndarray]
     max_new_tokens: int
     future: Future
+    # optional streaming hook: called from the scheduler thread with the
+    # token ids produced by each decode chunk (may be empty on the final
+    # flush). Keep it fast — it blocks the decode loop.
+    on_tokens: Optional[Callable[[List[int]], None]] = None
 
 
 @dataclasses.dataclass
@@ -169,12 +173,15 @@ class ServingRuntime:
     def submit_chat(
         self, prompt: str, image: Optional[np.ndarray] = None,
         max_new_tokens: Optional[int] = None,
+        on_tokens: Optional[Callable[[List[int]], None]] = None,
     ) -> Future:
         """Queue an understanding request. image: HWC float in [-1, 1]
-        (already transform-resized), or None for text-only."""
+        (already transform-resized), or None for text-only. on_tokens:
+        streaming callback receiving each decode chunk's token ids."""
         fut = Future()
         self.chat_q.put(_ChatRequest(
-            prompt, image, max_new_tokens or self.max_new_default, fut
+            prompt, image, max_new_tokens or self.max_new_default, fut,
+            on_tokens,
         ))
         self._wake.set()
         return fut
@@ -471,8 +478,14 @@ class ServingRuntime:
             hit_eos = eos in row
             new = row[: row.index(eos)] if hit_eos else row
             budget = s.req.max_new_tokens - len(s.produced)
-            s.produced.extend(new[:budget])
-            self.stats["tokens_out"] += len(new[:budget])
+            emitted = new[:budget]
+            s.produced.extend(emitted)
+            self.stats["tokens_out"] += len(emitted)
+            if s.req.on_tokens is not None and emitted:
+                try:
+                    s.req.on_tokens(emitted)
+                except Exception:
+                    pass  # a broken stream consumer must not kill decode
             if hit_eos or len(s.produced) >= s.req.max_new_tokens:
                 self.stats["chat_done"] += 1
                 self._retire(i)

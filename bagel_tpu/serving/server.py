@@ -91,6 +91,55 @@ class BagelServer:
         )
         return {"text": fut.result(timeout=self.request_timeout)}
 
+    def chat_stream_events(self, body: dict):
+        """Generator of NDJSON events for a streaming chat: {"text_delta"}
+        per decode chunk, then {"done": true, "text": full}. Token ids are
+        forwarded from the scheduler thread through a queue so a slow
+        client never blocks the decode loop."""
+        import queue as _q
+
+        prompt = body.get("prompt")
+        if not prompt:
+            raise ValueError("'prompt' is required")
+        if body.get("think"):
+            # think mode runs on the exclusive queue with no token hook —
+            # degrade to a single final event
+            yield {"done": True, "text": self.chat(body)["text"]}
+            return
+        image = None
+        if body.get("image"):
+            image = self._decode_image(body["image"], self.vit_tf)
+        events: "_q.Queue[dict]" = _q.Queue()
+        tok = self.runtime.engine.tokenizer
+        produced: list = []
+        seen = [""]
+
+        def on_tokens(ids):
+            produced.extend(ids)
+            text = tok.decode(produced)
+            if len(text) > len(seen[0]):
+                events.put({"text_delta": text[len(seen[0]):]})
+                seen[0] = text
+
+        fut = self.runtime.submit_chat(
+            prompt, image=image, max_new_tokens=body.get("max_tokens"),
+            on_tokens=on_tokens,
+        )
+        import time as _time
+
+        deadline = _time.monotonic() + self.request_timeout
+        while True:
+            try:
+                yield events.get(timeout=0.05)
+            except _q.Empty:
+                if fut.done():
+                    break
+                if _time.monotonic() > deadline:
+                    raise TimeoutError("stream timed out")
+        while not events.empty():
+            yield events.get_nowait()
+        yield {"done": True, "text": fut.result(timeout=5)}
+
     def generate(self, body: dict) -> dict:
         import jax
 
@@ -140,6 +189,19 @@ def _make_handler(server: BagelServer):
             self.end_headers()
             self.wfile.write(data)
 
+        def _stream(self, events):
+            """Chunked NDJSON: one JSON object per line per event."""
+            self.send_response(200)
+            self.send_header("Content-Type", "application/x-ndjson")
+            self.send_header("Transfer-Encoding", "chunked")
+            self.end_headers()
+            for ev in events:
+                data = json.dumps(ev).encode() + b"\n"
+                self.wfile.write(f"{len(data):x}\r\n".encode())
+                self.wfile.write(data + b"\r\n")
+                self.wfile.flush()
+            self.wfile.write(b"0\r\n\r\n")
+
         def do_GET(self):
             if self.path == "/healthz":
                 self._reply(200, {"ok": True})
@@ -155,7 +217,13 @@ def _make_handler(server: BagelServer):
             except (ValueError, json.JSONDecodeError) as e:
                 return self._reply(400, {"error": f"bad json: {e}"})
             try:
-                if self.path == "/v1/chat":
+                if self.path == "/v1/chat" and body.get("stream"):
+                    import itertools
+
+                    gen = server.chat_stream_events(body)
+                    first = next(gen)  # validation errors land before headers
+                    self._stream(itertools.chain([first], gen))
+                elif self.path == "/v1/chat":
                     self._reply(200, server.chat(body))
                 elif self.path == "/v1/generate":
                     self._reply(200, server.generate(body))

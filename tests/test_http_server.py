@@ -156,3 +156,35 @@ def test_chat_think_mode(stack):
         {"prompt": "why?", "think": True, "max_tokens": 8},
     )
     assert status == 200 and isinstance(body["text"], str)
+
+
+def test_chat_streaming(stack):
+    """stream=true returns chunked NDJSON: text_delta events whose
+    concatenation equals the final done event's text."""
+    _, rt, host, port = stack
+    conn = http.client.HTTPConnection(host, port, timeout=600)
+    try:
+        conn.request("POST", "/v1/chat",
+                     body=json.dumps({"prompt": "stream me",
+                                      "max_tokens": 6, "stream": True}),
+                     headers={"Content-Type": "application/json"})
+        resp = conn.getresponse()
+        assert resp.status == 200
+        assert resp.getheader("Content-Type") == "application/x-ndjson"
+        events = [json.loads(line) for line in resp.read().splitlines()
+                  if line.strip()]
+    finally:
+        conn.close()
+    assert events[-1].get("done") is True
+    deltas = [e["text_delta"] for e in events[:-1]]
+    assert len(deltas) >= 2  # decode_chunk=3, max_tokens=6 -> >=2 chunks
+    assert "".join(deltas) == events[-1]["text"]
+    want = rt.submit_chat("stream me", max_new_tokens=6).result(timeout=600)
+    assert events[-1]["text"] == want
+
+
+def test_chat_streaming_missing_prompt_is_400(stack):
+    _, _, host, port = stack
+    status, body = _request(host, port, "POST", "/v1/chat",
+                            {"stream": True})
+    assert status == 400 and "prompt" in body["error"]
