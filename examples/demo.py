@@ -26,6 +26,11 @@ def main():
     args = ap.parse_args()
 
     import jax
+
+    # honor JAX_PLATFORMS programmatically (some TPU plugins ignore the env
+    # var): the micro walkthrough is CPU-friendly
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     from PIL import Image
 
     from bagel_tpu.serving.app import build_engine
@@ -71,6 +76,40 @@ def main():
     out = engine(image=src, text="how many animals are there?",
                  understanding_output=True, think=True, max_think_token_n=64)
     print("answer:", (out["text"] or "")[:200])
+
+    print("== continuous-batching serving + HTTP API ==")
+    import http.client
+    import json
+
+    from bagel_tpu.serving.runtime import ServingRuntime
+    from bagel_tpu.serving.server import BagelServer, serve_in_thread
+
+    rt = ServingRuntime(engine, slots=2, decode_chunk=4,
+                        max_new_default=24 if real else 8)
+    rt.start()
+    httpd, _ = serve_in_thread(BagelServer(rt, vae_tf, vit_tf))
+    host, port = httpd.server_address
+    try:
+        # two concurrent chats share decode chunks in the slot-batched cache
+        futs = [rt.submit_chat(p) for p in
+                ("name three colors", "what is a piano?")]
+        for p, f in zip(("colors", "piano"), futs):
+            print(f"  batched {p}:", f.result(timeout=600)[:80])
+        # the same traffic over HTTP, streamed
+        conn = http.client.HTTPConnection(host, port, timeout=600)
+        conn.request("POST", "/v1/chat",
+                     body=json.dumps({"prompt": "stream a fact",
+                                      "stream": True}),
+                     headers={"Content-Type": "application/json"})
+        resp = conn.getresponse()
+        events = [json.loads(line) for line in resp.read().splitlines()
+                  if line.strip()]
+        conn.close()
+        print(f"  streamed {len(events) - 1} chunks ->",
+              events[-1]["text"][:80])
+    finally:
+        httpd.shutdown()
+        rt.stop()
 
     print(f"done -> {args.outdir}/")
 
