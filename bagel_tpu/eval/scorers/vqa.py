@@ -150,9 +150,14 @@ def vqa_accuracy(results: List[dict]) -> float:
     annotator strings)."""
     if not results:
         return 0.0
+    if not all("gt_answers" in r for r in results):
+        raise ValueError(
+            "vqa_score rows need gt_answers (the 10 annotator strings) — "
+            "prep with `data_prep.py vqa --annotation <official json>`"
+        )
     total = 0.0
     for r in results:
-        pred = normalize_answer(r.get("prediction") or r.get("answer") or "")
+        pred = normalize_answer(r.get("prediction") or "")
         total += soft_answer_scores(r["gt_answers"]).get(pred, 0.0)
     return total / len(results)
 
@@ -195,7 +200,7 @@ def anls_score(results: List[dict]) -> float:
     total = 0.0
     for r in results:
         gts = r.get("gt_answers") or _as_list(r.get("annotation"))
-        pred = r.get("prediction") or r.get("answer") or ""
+        pred = r.get("prediction") or ""
         total += max((anls_similarity(pred, g) for g in gts), default=0.0)
     return total / len(results)
 
@@ -235,7 +240,7 @@ def relaxed_accuracy(results: List[dict]) -> float:
     total = 0.0
     for r in results:
         gts = r.get("gt_answers") or _as_list(r.get("annotation"))
-        pred = (r.get("prediction") or r.get("answer") or "").strip()
+        pred = (r.get("prediction") or "").strip()
         total += max((relaxed_match(pred, g) for g in gts), default=False)
     return total / len(results)
 
@@ -248,7 +253,7 @@ def exact_match_accuracy(results: List[dict]) -> float:
     total = 0.0
     for r in results:
         gts = r.get("gt_answers") or _as_list(r.get("annotation"))
-        pred = (r.get("prediction") or r.get("answer") or "").strip().lower()
+        pred = (r.get("prediction") or "").strip().lower()
         total += any(pred == g.strip().lower() for g in gts)
     return total / len(results)
 

@@ -261,6 +261,10 @@ def bagel_forward_train(
     if expert_parallel is not None:
         from bagel_tpu.parallel.expert import ep_llm_forward_train
 
+        assert sparse_block is None, (
+            "expert_parallel composes with the dense-mask or attn_chunk "
+            "attention paths, not sparse_block"
+        )
         ep_mesh, ep_axis = expert_parallel
         hidden = ep_llm_forward_train(
             params["llm"], cfg.llm, seq, batch.position_ids, mask,

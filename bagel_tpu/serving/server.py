@@ -109,35 +109,43 @@ class BagelServer:
         image = None
         if body.get("image"):
             image = self._decode_image(body["image"], self.vit_tf)
-        events: "_q.Queue[dict]" = _q.Queue()
-        tok = self.runtime.engine.tokenizer
-        produced: list = []
-        seen = [""]
-
-        def on_tokens(ids):
-            produced.extend(ids)
-            text = tok.decode(produced)
-            if len(text) > len(seen[0]):
-                events.put({"text_delta": text[len(seen[0]):]})
-                seen[0] = text
-
+        chunks: "_q.Queue[list]" = _q.Queue()
+        # the callback runs on the runtime's scheduler thread — keep it to
+        # an enqueue; decoding happens here on the handler thread
         fut = self.runtime.submit_chat(
             prompt, image=image, max_new_tokens=body.get("max_tokens"),
-            on_tokens=on_tokens,
+            on_tokens=chunks.put,
         )
         import time as _time
+
+        tok = self.runtime.engine.tokenizer
+        produced: list = []
+        seen = ""
+
+        def drain(ids):
+            nonlocal seen
+            produced.extend(ids)
+            text = tok.decode(produced)
+            if len(text) > len(seen):
+                delta, seen = text[len(seen):], text
+                return {"text_delta": delta}
+            return None
 
         deadline = _time.monotonic() + self.request_timeout
         while True:
             try:
-                yield events.get(timeout=0.05)
+                ev = drain(chunks.get(timeout=0.05))
+                if ev:
+                    yield ev
             except _q.Empty:
                 if fut.done():
                     break
                 if _time.monotonic() > deadline:
                     raise TimeoutError("stream timed out")
-        while not events.empty():
-            yield events.get_nowait()
+        while not chunks.empty():
+            ev = drain(chunks.get_nowait())
+            if ev:
+                yield ev
         yield {"done": True, "text": fut.result(timeout=5)}
 
     def generate(self, body: dict) -> dict:
@@ -177,6 +185,10 @@ class BagelServer:
 
 def _make_handler(server: BagelServer):
     class Handler(BaseHTTPRequestHandler):
+        # chunked transfer (streaming) is only defined for HTTP/1.1; all
+        # non-stream replies send Content-Length so keep-alive is safe
+        protocol_version = "HTTP/1.1"
+
         # quiet per-request stderr logging; stats carry the counters
         def log_message(self, *args):
             pass
@@ -190,16 +202,27 @@ def _make_handler(server: BagelServer):
             self.wfile.write(data)
 
         def _stream(self, events):
-            """Chunked NDJSON: one JSON object per line per event."""
+            """Chunked NDJSON: one JSON object per line per event. Headers
+            are already committed when this runs, so a failure mid-stream
+            is reported as a final in-band {"error": ...} event and the
+            chunked body is terminated cleanly (never a second status
+            line)."""
             self.send_response(200)
             self.send_header("Content-Type", "application/x-ndjson")
             self.send_header("Transfer-Encoding", "chunked")
             self.end_headers()
-            for ev in events:
+
+            def write_event(ev):
                 data = json.dumps(ev).encode() + b"\n"
                 self.wfile.write(f"{len(data):x}\r\n".encode())
                 self.wfile.write(data + b"\r\n")
                 self.wfile.flush()
+
+            try:
+                for ev in events:
+                    write_event(ev)
+            except Exception as e:
+                write_event({"error": f"{type(e).__name__}: {e}"})
             self.wfile.write(b"0\r\n\r\n")
 
         def do_GET(self):

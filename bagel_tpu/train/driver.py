@@ -236,6 +236,11 @@ def make_grad_and_apply(cfg, tx, args, mesh=None):
         "--context_parallel / --pipeline_parallel / --expert_parallel "
         "are exclusive"
     )
+    assert not (ep and getattr(args, "sparse_block", None)), (
+        "--expert_parallel does not support --sparse_block (the ep "
+        "forward routes attention through the dense/chunked paths only; "
+        "use --attn_chunk for long sequences)"
+    )
     if ep is not None:
         assert mesh.shape[args.expert_parallel] == 2, (
             f"--expert_parallel axis '{args.expert_parallel}' must have "

@@ -7,7 +7,9 @@
 #   relaxed   — chartqa (5% numeric tolerance)
 #   vqa_exact — gqa/ocrvqa/ai2d
 # Reference decode lengths: 10 tokens for short-answer suites, 100 for
-# docvqa/chartqa/ocrvqa/infographicsvqa (ds_collections tables).
+# docvqa/chartqa/ocrvqa/infographicsvqa (ds_collections tables). ocrvqa
+# scores with vqa_exact but decodes 100 tokens — override with
+# VQA_MAXLEN=100 (the metric alone cannot distinguish it from gqa/ai2d).
 set -euo pipefail
 CKPT=${1:?checkpoint dir}
 DATA=${2:?qa jsonl}
@@ -19,6 +21,7 @@ case "$METRIC" in
   vqa|vqa_exact) MAXLEN=10 ;;
   *) MAXLEN=100 ;;
 esac
+MAXLEN=${VQA_MAXLEN:-$MAXLEN}
 python -m bagel_tpu.eval.vlm_runner \
   --checkpoint "$CKPT" --data "$DATA" --out "$OUT" \
   --image_root "$IMAGE_ROOT" --score "$METRIC" --max_length "$MAXLEN" "$@"

@@ -84,53 +84,10 @@ def test_reference_model_loads_export_strict():
     strict=True — no missing, no unexpected keys."""
     import torch
 
-    import refutil  # noqa: F401
-    from modeling.bagel import bagel as ref_bagel_mod
-    from modeling.bagel import qwen2_navit as nav
-    from modeling.bagel import siglip_navit as ref_vit_mod
-    from modeling.autoencoder import AutoEncoderParams
+    import refutil
 
     cfg = tiny_bagel()
-    llm_cfg = nav.Qwen2Config(
-        vocab_size=cfg.llm.vocab_size,
-        hidden_size=cfg.llm.hidden_size,
-        intermediate_size=cfg.llm.intermediate_size,
-        num_hidden_layers=cfg.llm.num_hidden_layers,
-        num_attention_heads=cfg.llm.num_attention_heads,
-        num_key_value_heads=cfg.llm.num_key_value_heads,
-        rope_theta=cfg.llm.rope_theta,
-        rms_norm_eps=cfg.llm.rms_norm_eps,
-        qk_norm=True, layer_module="Qwen2MoTDecoderLayer",
-        tie_word_embeddings=False, freeze_und=False,
-        attn_implementation="eager",
-    )
-    vit_cfg = ref_vit_mod.SiglipVisionConfig(
-        hidden_size=cfg.vit.hidden_size,
-        intermediate_size=cfg.vit.intermediate_size,
-        num_hidden_layers=cfg.vit.num_hidden_layers,
-        num_attention_heads=cfg.vit.num_attention_heads,
-        image_size=cfg.vit.image_size, patch_size=cfg.vit.patch_size,
-        rope=True,
-    )
-    ae_params = AutoEncoderParams(
-        resolution=256, in_channels=3, downsample=cfg.vae.downsample,
-        ch=cfg.vae.ch, out_ch=3, ch_mult=list(cfg.vae.ch_mult),
-        num_res_blocks=cfg.vae.num_res_blocks, z_channels=cfg.vae.z_channels,
-        scale_factor=cfg.vae.scale_factor, shift_factor=cfg.vae.shift_factor,
-    )
-    torch.manual_seed(0)
-    lm = nav.Qwen2ForCausalLM(llm_cfg)
-    lm.init_moe()
-    vit = ref_vit_mod.SiglipVisionModel(vit_cfg)
-    vit.vision_model.embeddings.convert_conv2d_to_linear(vit_cfg)
-    model = ref_bagel_mod.Bagel(lm, vit, ref_bagel_mod.BagelConfig(
-        visual_gen=True, visual_und=True,
-        llm_config=llm_cfg, vit_config=vit_cfg, vae_config=ae_params,
-        latent_patch_size=cfg.latent_patch_size,
-        max_latent_size=cfg.max_latent_size,
-        vit_max_num_patch_per_side=cfg.vit_max_num_patch_per_side,
-        interpolate_pos=False, timestep_shift=cfg.timestep_shift,
-    ))
+    model = refutil.build_reference_bagel(cfg, eval_mode=True)
 
     params = init_bagel_params(jax.random.PRNGKey(3), cfg, jnp.float32)
     params.pop("vae", None)
