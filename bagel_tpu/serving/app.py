@@ -56,6 +56,10 @@ def parse_args(argv=None):
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--no_fuse", action="store_true",
                    help="disable the fused QKV / gate-up projections")
+    p.add_argument("--kv_quant", action="store_true",
+                   help="int8 KV cache for chat/serving sessions (half the "
+                        "cache HBM => ~2x the continuous-batching slot "
+                        "capacity; generation contexts stay bf16)")
     return p.parse_args(argv)
 
 
@@ -120,6 +124,7 @@ def build_engine(args):
     engine = BagelEngine(
         params, cfg, tokenizer, new_token_ids, max_kv=args.max_kv,
         vae_transform=vae_tf, vit_transform=vit_tf,
+        kv_quant=getattr(args, "kv_quant", False),
     )
     engine.mesh = mesh  # for runtime cache sharding (server.py, runtime.py)
     return engine, vae_tf, vit_tf

@@ -107,9 +107,14 @@ class _Slot:
     produced: List[int] = dataclasses.field(default_factory=list)
 
 
-@partial(jax.jit, static_argnames=("cfg", "max_steps", "eos_id"))
+@partial(jax.jit, static_argnames=("cfg", "max_steps", "eos_id"),
+         donate_argnames=("cache",))
 def _decode_chunk_jit(params, cfg, cache, start, pos, active, *, max_steps,
                       eos_id):
+    """Cache donated: the scheduler replaces self.cache with the returned
+    one right away, and aliasing lets XLA run the decode loop in the same
+    HBM buffer (no per-chunk copy of the [L, slots, S, KH, D] cache, no 2x
+    peak while the chunk runs)."""
     return qwen2.decode_text(
         params["llm"], cfg.llm, cache, start, pos,
         max_steps=max_steps, eos_id=eos_id, active=active,
@@ -140,7 +145,8 @@ class ServingRuntime:
         self.max_new_default = max_new_default
         self.mesh = mesh
         self.cache: KVCache = kv_cache_init(
-            engine.cfg.llm, slots, engine.max_kv, engine.cache_dtype
+            engine.cfg.llm, slots, engine.max_kv,
+            getattr(engine, "kv_dtype", engine.cache_dtype),
         )
         if mesh is not None:
             self.cache = self._shard_cache(self.cache)
@@ -161,11 +167,16 @@ class ServingRuntime:
         slot_ax = "dp" if self.slots % max(axes.get("dp", 1), 1) == 0 else None
         kh_ax = "tp" if kh % max(axes.get("tp", 1), 1) == 0 else None
         kv_s = NamedSharding(self.mesh, P(None, slot_ax, None, kh_ax, None))
+        sc_s = NamedSharding(self.mesh, P(None, slot_ax, None, kh_ax))
         len_s = NamedSharding(self.mesh, P(slot_ax))
         return KVCache(
             k=jax.device_put(cache.k, kv_s),
             v=jax.device_put(cache.v, kv_s),
             length=jax.device_put(cache.length, len_s),
+            k_scale=(None if cache.k_scale is None
+                     else jax.device_put(cache.k_scale, sc_s)),
+            v_scale=(None if cache.v_scale is None
+                     else jax.device_put(cache.v_scale, sc_s)),
         )
 
     # -- client API ----------------------------------------------------------
@@ -215,6 +226,23 @@ class ServingRuntime:
 
     def _free_rows(self) -> List[int]:
         return [i for i, s in enumerate(self.slot_state) if s is None]
+
+    def _recover_cache(self, err: BaseException):
+        """After a failed donated call the old cache buffers may be deleted
+        (extend/decode donate self.cache). Rebuild a fresh cache and fail
+        every live session — their KV state is unrecoverable — so the
+        scheduler thread survives and keeps serving new requests."""
+        for i, s in enumerate(self.slot_state):
+            if s is not None:
+                self.slot_state[i] = None
+                if not s.req.future.done():
+                    s.req.future.set_error(err)
+        self.cache = kv_cache_init(
+            self.engine.cfg.llm, self.slots, self.engine.max_kv,
+            getattr(self.engine, "kv_dtype", self.engine.cache_dtype),
+        )
+        if self.mesh is not None:
+            self.cache = self._shard_cache(self.cache)
 
     def _retire(self, i: int):
         """Free a slot AND zero its cache length — a stale length would
@@ -317,6 +345,8 @@ class ServingRuntime:
             for r, req in zip(rows, reqs):
                 self.slot_state[r] = None
                 req.future.set_error(e)
+            if getattr(self.cache.k, "is_deleted", lambda: False)():
+                self._recover_cache(e)  # donated call failed mid-flight
 
     def _prefill_rows(self, rows: List[int], reqs: List[_ChatRequest],
                       widths: Optional[list] = None):
@@ -515,11 +545,10 @@ class ServingRuntime:
                     self._decode_step()
                 except Exception as e:
                     # fail the affected sessions, keep the scheduler alive —
-                    # a hung daemon thread would strand every future forever
-                    for i, s in enumerate(self.slot_state):
-                        if s is not None:
-                            s.req.future.set_error(e)
-                            self._retire(i)
+                    # a hung daemon thread would strand every future forever.
+                    # The decode chunk donates the cache, so the old buffers
+                    # may be gone: rebuild instead of touching them.
+                    self._recover_cache(e)
             # fair interleave: at most one gen job between decode chunks
             if not self.gen_q.empty():
                 self._run_one_gen()

@@ -543,7 +543,8 @@ def run_train_bench(depth: int, dtype_name: str, image: int = 1024,
 
 
 def run_serving_bench(depth: int, dtype_name: str, slots: int = 8,
-                      prompt_len: int = 480, max_new: int = 64):
+                      prompt_len: int = 480, max_new: int = 64,
+                      kv_quant: bool = False):
     """Aggregate decode tok/s through the continuous-batching ServingRuntime
     (serving/runtime.py): `2*slots` text chat requests with ~prompt_len-token
     prompts share the slot-batched cache; decode is bandwidth-bound so the
@@ -576,7 +577,7 @@ def run_serving_bench(depth: int, dtype_name: str, slots: int = 8,
             params = {"llm": fuse_llm_params(p) if fuse else p}
     tok = MockTokenizer(llm.vocab_size)
     eng = BagelEngine(params, cfg, tok, tok.new_token_ids,
-                      max_kv=prompt_len + max_new + 256)
+                      max_kv=prompt_len + max_new + 256, kv_quant=kv_quant)
     prompt = "a" * prompt_len  # MockTokenizer: one token per char
 
     def run_wave(n_req):
@@ -617,9 +618,12 @@ def _child_main(args):
         print(f"TRAIN {step_s} {tokens}", flush=True)
         return
     if args.mode == "serve":
+        kvq = getattr(args, "kv_quant", False)
         tok_s, total, elapsed = run_serving_bench(args.depth, args.dtype,
-                                                  slots=args.slots)
-        print(f"SERVE {tok_s} {total} {elapsed} {args.slots}", flush=True)
+                                                  slots=args.slots,
+                                                  kv_quant=kvq)
+        tag = "SERVEQ" if kvq else "SERVE"
+        print(f"{tag} {tok_s} {total} {elapsed} {args.slots}", flush=True)
         return
     if args.mode == "main":
         # the whole main TPU sequence in ONE process: headline w8a8
@@ -650,6 +654,18 @@ def _child_main(args):
             print(f"SERVE {tok_s} {total} {elapsed} {args.slots}", flush=True)
         except Exception as e:
             print(f"# main serve failed: {e!r}", file=sys.stderr, flush=True)
+        gc.collect()
+        try:
+            # int8 KV cache: half the cache HBM unlocks 2x the slot count
+            # that OOMed at bf16 (16/24 -> RESOURCE_EXHAUSTED, NOTES)
+            q_slots = 2 * args.slots
+            tok_s, total, elapsed = run_serving_bench(
+                FULL_DEPTH, "w8a8", slots=q_slots, kv_quant=True
+            )
+            print(f"SERVEQ {tok_s} {total} {elapsed} {q_slots}", flush=True)
+        except Exception as e:
+            print(f"# main serve kv_quant failed: {e!r}", file=sys.stderr,
+                  flush=True)
         return
     fn = run_denoise_naive if args.schedule == "naive" else run_denoise_production
     elapsed, detail = fn(args.depth, args.image, args.steps, args.dtype)
@@ -673,6 +689,12 @@ def _parse_child_stdout(stdout: str) -> dict:
             out["serve_tokens"] = int(parts[2])
             out["serve_elapsed"] = float(parts[3])
             out["serve_slots"] = int(parts[4])
+        elif line.startswith("SERVEQ "):
+            parts = line.split()
+            out["serveq_tok_s"] = float(parts[1])
+            out["serveq_tokens"] = int(parts[2])
+            out["serveq_elapsed"] = float(parts[3])
+            out["serveq_slots"] = int(parts[4])
         elif line.startswith("DETAIL "):
             out["detail"] = json.loads(line[len("DETAIL "):])
     return out
@@ -729,6 +751,8 @@ def main():
     ap.add_argument("--slots", type=int, default=12,
                     help="serving-runtime bench slot count (12 measured best\n                    single-chip: 437 tok/s vs 356 at 8; 16 OOMs w8a8 full depth)")
     ap.add_argument("--depth", type=int, default=None)
+    ap.add_argument("--kv_quant", action="store_true",
+                    help="serve mode: int8 KV slot cache")
     ap.add_argument("--dtype", type=str, default="bf16",
                     choices=["bf16", "fp32", "int8", "w8a8", "int4"])
     ap.add_argument("--schedule", default="production",
@@ -752,7 +776,7 @@ def main():
         int8_denoise = int8_decode = None
         quant_denoise, quant_decode = {}, {}
         train_point = None
-        serve_point = None
+        serve_point = serveq_point = None
         qdetail = {}
         try:
             decode_points = [(2, run_decode_bench(2, "fp32", prompt_len=32,
@@ -774,7 +798,7 @@ def main():
         quant_denoise, quant_decode = {}, {}
         decode_points = []
         train_point = None
-        serve_point = None
+        serve_point = serveq_point = None
         qdetail = {}
 
         # ---- main combined attempt: headline w8a8 full-depth denoise, then
@@ -794,6 +818,8 @@ def main():
                 quant_decode["w8a8"] = r["decode"]
             if "serve_tok_s" in r:
                 serve_point = r
+            if "serveq_tok_s" in r:
+                serveq_point = r
 
         def denoise_bf16():
             nonlocal elapsed, detail, depth
@@ -931,6 +957,17 @@ def main():
                 "2*slots mixed text chats through ServingRuntime "
                 "continuous batching (w8a8 full depth); compare "
                 "w8a8_full_depth_decode_tok_per_s_measured for B=1"
+            ),
+        }
+    if serveq_point is not None:
+        result["detail"]["serving_runtime_aggregate_decode_kv_int8"] = {
+            "slots": serveq_point["serveq_slots"],
+            "aggregate_tok_per_s": round(serveq_point["serveq_tok_s"], 2),
+            "tokens": serveq_point["serveq_tokens"],
+            "elapsed_s": round(serveq_point["serveq_elapsed"], 2),
+            "note": (
+                "same workload with the int8 KV cache (half the cache "
+                "HBM) at 2x the slot count"
             ),
         }
     result["detail"]["bench_wall_s"] = round(time.monotonic() - _T0, 1)
