@@ -11,7 +11,8 @@ Endpoints (JSON in / JSON out; images are base64-encoded PNG):
 
   GET  /healthz      -> {"ok": true}
   GET  /v1/stats     -> runtime counters + slot occupancy
-  POST /v1/chat      {"prompt", "image"?, "max_tokens"?}        -> {"text"}
+  POST /v1/chat      {"prompt", "image"? | "images"? (list),
+                      "max_tokens"?}                             -> {"text"}
   POST /v1/generate  {"prompt", "image"? (edit), "image_size"?,
                       "num_timesteps"?, "cfg_text_scale"?,
                       "cfg_img_scale"?, "cfg_renorm_type"?, "seed"?}
@@ -71,16 +72,30 @@ class BagelServer:
         Image.fromarray(arr).save(buf, format="PNG")
         return base64.b64encode(buf.getvalue()).decode("ascii")
 
+    def _chat_images(self, body: dict):
+        """'image' (one b64 PNG) or 'images' (list) -> runtime image arg.
+        Multi-image requests map to the interleaved-chat prefill shape:
+        each image is its own non-causal block advancing rope by 1
+        (runtime._prefill_rows; reference bagel.py:1004-1055)."""
+        if body.get("images"):
+            return [self._decode_image(b, self.vit_tf)
+                    for b in body["images"]]
+        if body.get("image"):
+            return self._decode_image(body["image"], self.vit_tf)
+        return None
+
     def chat(self, body: dict) -> dict:
         prompt = body.get("prompt")
         if not prompt:
             raise ValueError("'prompt' is required")
-        image = None
-        if body.get("image"):
-            image = self._decode_image(body["image"], self.vit_tf)
+        image = self._chat_images(body)
         if body.get("think"):
             # think-mode decodes one session at a time — route through the
             # runtime's exclusive-job queue (engine.__call__ understanding)
+            if isinstance(image, list):
+                if len(image) != 1:
+                    raise ValueError("think mode supports a single image")
+                image = image[0]
             fut = self.runtime.submit_generate(
                 prompt, image=image, understanding_output=True, think=True,
                 max_think_token_n=body.get("max_tokens") or 512,
@@ -106,9 +121,7 @@ class BagelServer:
             # degrade to a single final event
             yield {"done": True, "text": self.chat(body)["text"]}
             return
-        image = None
-        if body.get("image"):
-            image = self._decode_image(body["image"], self.vit_tf)
+        image = self._chat_images(body)
         chunks: "_q.Queue[list]" = _q.Queue()
         # the callback runs on the runtime's scheduler thread — keep it to
         # an enqueue; decoding happens here on the handler thread

@@ -93,6 +93,29 @@ def test_chat_with_image(stack):
     assert status == 200 and isinstance(body["text"], str)
 
 
+def test_chat_with_multiple_images(stack):
+    """'images' list rides the runtime's interleaved multi-image prefill
+    and matches the engine's chat_batch on the same (images, prompt) row."""
+    engine, _, host, port = stack
+    rng = np.random.default_rng(1)
+    raw = [(rng.random((40, 40, 3)) * 255).astype(np.uint8)
+           for _ in range(2)]
+    status, body = _request(
+        host, port, "POST", "/v1/chat",
+        {"prompt": "compare these", "images": [_png_b64(x) for x in raw],
+         "max_tokens": 5},
+    )
+    assert status == 200 and isinstance(body["text"], str)
+    vit_tf = ImageTransform(56, 28, engine.cfg.vit.patch_size,
+                            max_pixels=56 * 56)
+    from bagel_tpu.data.transforms import pil_img2rgb
+    from PIL import Image
+
+    imgs = [vit_tf(pil_img2rgb(Image.fromarray(x))) for x in raw]
+    want = engine.chat_batch([imgs], ["compare these"], max_length=5)[0]
+    assert body["text"] == want
+
+
 def test_generate_returns_png(stack):
     from PIL import Image
 
