@@ -89,6 +89,14 @@ def parse_args(argv=None):
     p.add_argument("--max_latent_size", type=int, default=32)
     p.add_argument("--timestep_shift", type=float, default=1.0)
     p.add_argument("--freeze_und", action="store_true")
+    # module-level freezing for ablations / memory (reference flags,
+    # pretrain_unified_navit.py:541-551; freeze_vae defaults True there too
+    # — the VAE is encoded outside the grad graph, so freezing only strips
+    # its optimizer moments)
+    p.add_argument("--freeze_llm", action="store_true")
+    p.add_argument("--freeze_vit", action="store_true")
+    p.add_argument("--freeze_vae", action="store_true", default=True)
+    p.add_argument("--no_freeze_vae", dest="freeze_vae", action="store_false")
     p.add_argument("--init_checkpoint", type=str, default=None,
                    help="HF-released checkpoint dir to convert + finetune")
     # data
@@ -247,10 +255,21 @@ def make_grad_and_apply(cfg, tx, args, mesh=None):
             f"size 2 (und/gen), got {mesh.shape[args.expert_parallel]}"
         )
 
+    from bagel_tpu.train.step import freeze_stop_gradient
+
+    frozen = tuple(
+        name for name, flag in (
+            ("llm", getattr(args, "freeze_llm", False)),
+            ("vit", getattr(args, "freeze_vit", False)),
+            ("vae", getattr(args, "freeze_vae", True)),
+        ) if flag
+    )
+
     def grad_step(params, batch, noise):
         (loss, metrics), grads = jax.value_and_grad(
             lambda p: compute_losses(
-                p, cfg, batch, noise, args.ce_weight, args.mse_weight,
+                freeze_stop_gradient(p, frozen), cfg, batch, noise,
+                args.ce_weight, args.mse_weight,
                 attn_chunk=args.attn_chunk, context_parallel=cp,
                 sparse_block=getattr(args, "sparse_block", None),
                 pipeline_parallel=pp, expert_parallel=ep,
@@ -302,10 +321,17 @@ def main(argv=None):
     with mesh:
         params = shard_params(mesh, params,
                               pipeline_axis=args.pipeline_parallel)
+        frozen = tuple(
+            name for name, flag in (
+                ("llm", args.freeze_llm), ("vit", args.freeze_vit),
+                ("vae", args.freeze_vae),
+            ) if flag and name in params
+        )
         tx = make_optimizer(
             make_lr_schedule(args.lr, args.warmup_steps, args.total_steps,
                              args.lr_scheduler, args.min_lr),
             args.beta1, args.beta2, args.eps, args.max_grad_norm,
+            frozen=frozen,
         )
         # jitted init: GSPMD derives optimizer/EMA shardings from the params,
         # so every leaf of the state lands on the mesh consistently (plain

@@ -60,17 +60,53 @@ def make_lr_schedule(
     raise ValueError(kind)
 
 
+# Frozen sin-cos position tables: persistent buffers in the reference
+# (modeling_utils.py:127-144 PositionEmbedding registers them non-trainable),
+# regenerated from config here (SURVEY §5.4 resolution retargeting) — they
+# must never receive optimizer updates.
+FROZEN_BUFFERS = ("vit_pos_embed", "latent_pos_embed")
+
+
+def trainable_mask(params: dict, frozen=()) -> dict:
+    """True/False pytree over top-level param groups: False for frozen
+    modules (--freeze_llm/vit/vae, pretrain_unified_navit.py:541-551) and
+    always for the sin-cos buffer tables."""
+    off = set(frozen) | set(FROZEN_BUFFERS)
+    return {
+        k: jax.tree.map(lambda _: k not in off, v) for k, v in params.items()
+    }
+
+
+def freeze_stop_gradient(params: dict, frozen=()) -> dict:
+    """stop_gradient over frozen top-level groups so XLA prunes their
+    backward compute entirely (the reference sets requires_grad=False)."""
+    off = set(frozen) | set(FROZEN_BUFFERS)
+    return {
+        k: (jax.lax.stop_gradient(v) if k in off else v)
+        for k, v in params.items()
+    }
+
+
 def make_optimizer(
     lr_schedule,
     beta1: float = 0.9,
     beta2: float = 0.95,
     eps: float = 1e-15,
     max_grad_norm: float = 1.0,
+    frozen=(),
 ) -> optax.GradientTransformation:
+    """AdamW chain with frozen modules masked out: masked leaves carry no
+    Adam moments (an unfrozen-by-accident VAE costs ~0.7 GB of fp32
+    moments at 7B scale) and receive no updates."""
     return optax.chain(
         optax.clip_by_global_norm(max_grad_norm),
-        optax.scale_by_adam(b1=beta1, b2=beta2, eps=eps),
-        optax.scale_by_learning_rate(lr_schedule),
+        optax.masked(
+            optax.chain(
+                optax.scale_by_adam(b1=beta1, b2=beta2, eps=eps),
+                optax.scale_by_learning_rate(lr_schedule),
+            ),
+            lambda params: trainable_mask(params, frozen),
+        ),
     )
 
 
@@ -147,8 +183,12 @@ def make_train_step(
     mse_weight: float = 1.0,
     ema_decay: float = 0.9999,
     precision=None,
+    frozen=(),
 ):
-    """Build the jitted train step: (state, batch, rng) -> (state, metrics)."""
+    """Build the jitted train step: (state, batch, rng) -> (state, metrics).
+
+    frozen: top-level param groups ("llm", "vit", "vae") to freeze — pass
+    the same tuple to make_optimizer so moments are masked too."""
 
     def train_step(state: TrainState, batch: PackedTrainBatch, rng: jax.Array):
         b = batch.position_ids.shape[0]
@@ -158,7 +198,8 @@ def make_train_step(
 
         def loss_fn(params):
             return compute_losses(
-                params, cfg, batch, noise, ce_weight, mse_weight, precision
+                freeze_stop_gradient(params, frozen), cfg, batch, noise,
+                ce_weight, mse_weight, precision
             )
 
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(

@@ -88,6 +88,58 @@ def test_freeze_und_blocks_und_ffn_gradients():
     assert g_gen > 0
 
 
+def test_module_freeze_and_buffer_tables(setup):
+    """--freeze_llm/vit/vae semantics (pretrain_unified_navit.py:541-551):
+    frozen modules keep their values and carry no Adam moments; the sin-cos
+    position tables are ALWAYS frozen buffers (reference registers them
+    non-trainable, modeling_utils.py:127-144)."""
+    import optax
+
+    cfg, params, batch = setup
+    # llm2vae is zero-init (reference bagel.py:96-99): at the initial params
+    # the MSE trunk gradient is exactly zero and CE labels causally precede
+    # the vit tokens, so the connector would see a zero gradient — randomize
+    # llm2vae so trainability is observable (same trick as the freeze_und
+    # test above).
+    params = dict(params)
+    params["llm2vae"] = dict(params["llm2vae"])
+    params["llm2vae"]["w"] = (
+        jax.random.normal(jax.random.PRNGKey(9), params["llm2vae"]["w"].shape)
+        * 0.1
+    )
+    frozen = ("vit", "vae")
+    tx = make_optimizer(make_lr_schedule(1e-3, warmup_steps=1),
+                        frozen=frozen)
+    state = init_train_state(params, tx, use_ema=False)
+    step = jax.jit(make_train_step(cfg, tx, ce_weight=1.0, mse_weight=1.0,
+                                   frozen=frozen))
+    state2 = state
+    for _ in range(2):  # warmup_steps=1: lr is 0 on the very first step
+        state2, metrics = step(state2, batch, jax.random.PRNGKey(42))
+    assert np.isfinite(float(metrics["loss"]))
+
+    def max_delta(a, b):
+        return max(jax.tree.leaves(jax.tree.map(
+            lambda x, y: float(jnp.abs(x - y).max()), a, b)))
+
+    # frozen modules and buffer tables byte-stable; trainable ones moved
+    for k in ("vit", "vae", "vit_pos_embed", "latent_pos_embed"):
+        assert max_delta(params[k], state2.params[k]) == 0.0, k
+    assert max_delta(params["llm"], state2.params["llm"]) > 0
+    assert max_delta(params["connector"], state2.params["connector"]) > 0
+
+    # masked leaves hold no Adam moments (memory): every vit/vae leaf of
+    # the adam state is a MaskedNode
+    adam_state = state.opt_state[1].inner_state[0]
+    for k in frozen:
+        nodes = jax.tree.leaves(
+            jax.tree.map(lambda x: isinstance(x, optax.MaskedNode),
+                         adam_state.mu[k],
+                         is_leaf=lambda x: isinstance(x, optax.MaskedNode)),
+        )
+        assert nodes and all(nodes), k
+
+
 def test_sharded_train_step_on_mesh(setup):
     cfg, params, batch = setup
     mesh = make_mesh((2, 2, 2))
