@@ -106,6 +106,8 @@ def parse_args(argv=None):
     p.add_argument("--max_num_tokens", type=int, default=36864)
     p.add_argument("--max_num_tokens_per_sample", type=int, default=16384)
     p.add_argument("--prefer_buffer_before", type=int, default=16384)
+    p.add_argument("--max_buffer_size", type=int, default=50,
+                   help="overflow-sample buffer cap (dataset_base.py:201)")
     p.add_argument("--text_cond_dropout_prob", type=float, default=0.1)
     p.add_argument("--vit_cond_dropout_prob", type=float, default=0.4)
     p.add_argument("--vae_cond_dropout_prob", type=float, default=0.1)
@@ -155,6 +157,16 @@ def parse_args(argv=None):
     p.add_argument("--save_every", type=int, default=2000)
     p.add_argument("--log_every", type=int, default=10)
     p.add_argument("--auto_resume", action="store_true")
+    # explicit-checkpoint resume (reference resume_from/resume_model_only/
+    # finetune_from_ema, pretrain_unified_navit.py:262-274,449-466): with
+    # --auto_resume the latest ckpt in --ckpt_dir wins; --resume_from is the
+    # fallback (or sole source without --auto_resume)
+    p.add_argument("--resume_from", type=str, default=None,
+                   help="train-checkpoint dir to resume/finetune from")
+    p.add_argument("--resume_model_only", action="store_true",
+                   help="load weights only; fresh optimizer/step/data stream")
+    p.add_argument("--finetune_from_ema", action="store_true",
+                   help="with --resume_model_only: start from EMA weights")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--profile_dir", type=str, default=None)
     p.add_argument("--wandb_project", type=str, default=None,
@@ -221,6 +233,7 @@ def _worker_packer(spec: dict, worker_id: int, num_workers: int):
         max_num_tokens_per_sample=spec["max_num_tokens_per_sample"],
         max_num_tokens=spec["max_num_tokens"],
         prefer_buffer_before=spec["prefer_buffer_before"],
+        max_buffer_size=spec["max_buffer_size"],
         seed=spec["seed"] + worker_id,
         finalize_kwargs={**spec["finalize_kwargs"], "as_device": False},
     )
@@ -341,20 +354,45 @@ def main(argv=None):
         )(params)
 
     # --- resume ---
+    # precedence mirrors the reference (pretrain_unified_navit.py:448-466):
+    # an auto-resume hit is always a FULL resume; --resume_from is the
+    # fallback and honors --resume_model_only/--finetune_from_ema.
     start_step, data_status = 0, {}
+    resume_src, model_only = None, False
     if args.auto_resume:
-        latest = get_latest_ckpt(args.ckpt_dir)
-        if latest:
-            abstract = jax.tree.map(
-                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding),
-                state,
-            )
-            state, saved_status = restore_checkpoint(latest, abstract)
-            # the checkpoint stores every host's stream positions
-            # ({rank: status}); each process resumes its own slice
-            data_status = data_status_for_process(saved_status, rank)
-            start_step = step_from_path(latest)
-            logger.info(f"resumed from {latest} at step {start_step}")
+        resume_src = get_latest_ckpt(args.ckpt_dir)
+    if resume_src is None and args.resume_from:
+        resume_src, model_only = args.resume_from, args.resume_model_only
+    if resume_src and model_only:
+        from bagel_tpu.train.checkpoint import restore_params_only
+
+        new_params, new_ema = restore_params_only(
+            resume_src, state.params, from_ema=args.finetune_from_ema
+        )
+        if state.ema_params is None:
+            new_ema = None
+        elif new_ema is None:
+            # ckpt has no EMA: seed it from the loaded weights (reference
+            # falls back to model.safetensors, fsdp_utils.py:169-173)
+            new_ema = jax.tree.map(jnp.copy, new_params)
+        state = dataclasses.replace(
+            state, params=new_params, ema_params=new_ema
+        )
+        logger.info(
+            f"loaded {'EMA ' if args.finetune_from_ema else ''}weights from "
+            f"{resume_src} (model only; fresh optimizer/step/data stream)"
+        )
+    elif resume_src:
+        abstract = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding),
+            state,
+        )
+        state, saved_status = restore_checkpoint(resume_src, abstract)
+        # the checkpoint stores every host's stream positions
+        # ({rank: status}); each process resumes its own slice
+        data_status = data_status_for_process(saved_status, rank)
+        start_step = step_from_path(resume_src)
+        logger.info(f"resumed from {resume_src} at step {start_step}")
 
     # --- data ---
     import yaml
@@ -394,6 +432,7 @@ def main(argv=None):
             max_num_tokens_per_sample=args.max_num_tokens_per_sample,
             max_num_tokens=args.max_num_tokens,
             prefer_buffer_before=args.prefer_buffer_before,
+            max_buffer_size=args.max_buffer_size,
             seed=args.seed + rank * 1009 + worker_id,
             finalize_kwargs=dict(
                 vit_patch_dim=cfg.vit.patch_dim if cfg.vit else 588,
@@ -418,6 +457,7 @@ def main(argv=None):
             max_num_tokens_per_sample=args.max_num_tokens_per_sample,
             max_num_tokens=args.max_num_tokens,
             prefer_buffer_before=args.prefer_buffer_before,
+            max_buffer_size=args.max_buffer_size,
             seed=args.seed + rank * 1009,
             finalize_kwargs=dict(
                 vit_patch_dim=cfg.vit.patch_dim if cfg.vit else 588,
@@ -548,10 +588,14 @@ def main(argv=None):
             if step > start_step and step % args.save_every == 0:
                 # collective: every process enters the Orbax save and the
                 # data_status allgather (reference gathers rank dicts before
-                # rank-0 writes, pretrain_unified_navit.py:796-820)
+                # rank-0 writes, pretrain_unified_navit.py:796-820).
+                # block=False: the loop resumes as soon as the device->host
+                # copy lands; the disk write finishes on Orbax's background
+                # thread while the next steps run
                 save_checkpoint(args.ckpt_dir, step, state,
-                                gather_data_status(data_status), cfg)
-                logger.info(f"saved checkpoint at step {step}")
+                                gather_data_status(data_status), cfg,
+                                block=False)
+                logger.info(f"checkpoint at step {step} (async write)")
 
         if profiling:  # total_steps ended inside the trace window
             jax.profiler.stop_trace()

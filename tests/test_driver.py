@@ -196,3 +196,128 @@ def test_driver_expert_parallel(corpus, tmp_path):
         "--max_num_tokens_per_sample", "250", "--warmup_steps", "1",
         "--mesh", "2,2,2", "--expert_parallel", "tp",
     ])
+
+
+def test_restore_params_only_unit(tmp_path):
+    """restore_params_only (reference resume_model_only/finetune_from_ema,
+    fsdp_utils.py:153-184): weights-only load, EMA selection, pos-table
+    regeneration, and strict=False behavior for groups the ckpt lacks."""
+    import jax
+    import jax.numpy as jnp
+
+    from bagel_tpu.train.checkpoint import restore_params_only, save_checkpoint
+    from bagel_tpu.train.step import (
+        init_train_state, make_lr_schedule, make_optimizer,
+    )
+
+    params = {
+        "llm": {"w": jnp.full((4, 4), 1.0)},
+        "vit_pos_embed": jnp.arange(8.0).reshape(2, 4),
+    }
+    tx = make_optimizer(make_lr_schedule(1e-3))
+    state = init_train_state(params, tx, use_ema=True)
+    # make EMA distinguishable from the raw weights
+    state = dataclasses_replace_ema(state, jax.tree.map(lambda x: x * 3, params))
+    path = save_checkpoint(str(tmp_path / "ck"), 7, state)
+
+    # current model: retargeted pos table (different shape) + a new group
+    current = {
+        "llm": {"w": jnp.zeros((4, 4))},
+        "vit_pos_embed": jnp.ones((3, 4)) * 9,
+        "new_head": {"w": jnp.full((2,), 5.0)},
+    }
+    p, ema = restore_params_only(path, current, from_ema=False)
+    assert float(p["llm"]["w"][0, 0]) == 1.0  # raw weights
+    assert p["vit_pos_embed"].shape == (3, 4)  # regenerated, not restored
+    assert float(p["vit_pos_embed"][0, 0]) == 9.0
+    assert float(p["new_head"]["w"][0]) == 5.0  # strict=False keep-init
+    assert ema is not None and float(ema["llm"]["w"][0, 0]) == 3.0
+
+    p2, _ = restore_params_only(path, current, from_ema=True)
+    assert float(p2["llm"]["w"][0, 0]) == 3.0  # EMA as the model weights
+
+    # a no-EMA checkpoint: from_ema must fail loudly, ema returned None
+    state_noema = init_train_state(params, tx, use_ema=False)
+    path2 = save_checkpoint(str(tmp_path / "ck2"), 3, state_noema)
+    p3, ema3 = restore_params_only(path2, current)
+    assert ema3 is None and float(p3["llm"]["w"][0, 0]) == 1.0
+    with pytest.raises(ValueError):
+        restore_params_only(path2, current, from_ema=True)
+
+
+def dataclasses_replace_ema(state, ema):
+    import dataclasses as _dc
+
+    return _dc.replace(state, ema_params=ema)
+
+
+def test_driver_resume_model_only(corpus, tmp_path):
+    """--resume_from + --resume_model_only + --finetune_from_ema: weights
+    come from the first run's checkpoint but step/optimizer/data stream
+    start fresh (reference pretrain_unified_navit.py:603-606)."""
+    from bagel_tpu.train import driver
+    from bagel_tpu.train.checkpoint import get_latest_ckpt, step_from_path
+
+    first = tmp_path / "stage1"
+    driver.main([
+        "--preset", "micro", "--mock_tokenizer",
+        "--dataset_config", str(corpus / "data.yaml"),
+        "--ckpt_dir", str(first),
+        "--total_steps", "2", "--save_every", "2", "--log_every", "10",
+        "--expected_num_tokens", "200", "--max_num_tokens", "260",
+        "--max_num_tokens_per_sample", "250", "--warmup_steps", "1",
+    ])
+    src = get_latest_ckpt(str(first))
+    assert src is not None
+
+    second = tmp_path / "stage2"
+    driver.main([
+        "--preset", "micro", "--mock_tokenizer",
+        "--dataset_config", str(corpus / "data.yaml"),
+        "--ckpt_dir", str(second),
+        "--total_steps", "1", "--save_every", "1", "--log_every", "10",
+        "--expected_num_tokens", "200", "--max_num_tokens", "260",
+        "--max_num_tokens_per_sample", "250", "--warmup_steps", "1",
+        "--resume_from", src, "--resume_model_only", "--finetune_from_ema",
+    ])
+    # fresh step count: the finetune run checkpoints at step 1, not 3
+    assert step_from_path(get_latest_ckpt(str(second))) == 1
+
+
+def test_async_save_and_unfinalized_ckpt_skipped(tmp_path):
+    """block=False saves return before the disk write commits; Orbax
+    finalizes `state/` atomically and get_latest_ckpt never offers a step
+    dir whose state isn't committed (crash-mid-write safety)."""
+    import os
+
+    import jax.numpy as jnp
+
+    from bagel_tpu.train.checkpoint import (
+        get_latest_ckpt, restore_checkpoint, save_checkpoint, wait_for_saves,
+    )
+    from bagel_tpu.train.step import (
+        init_train_state, make_lr_schedule, make_optimizer,
+    )
+
+    params = {"llm": {"w": jnp.full((8, 8), 2.5)}}
+    tx = make_optimizer(make_lr_schedule(1e-3))
+    state = init_train_state(params, tx, use_ema=False)
+
+    ckdir = tmp_path / "ck"
+    save_checkpoint(str(ckdir), 5, state, data_status={"d": {0: [1, 2]}},
+                    block=False)
+    wait_for_saves()
+    latest = get_latest_ckpt(str(ckdir))
+    assert latest is not None and latest.endswith("0000005")
+
+    # a numbered dir without a committed state/ (in-flight or aborted async
+    # save) must never win over a complete one
+    os.makedirs(ckdir / "0000009")
+    assert get_latest_ckpt(str(ckdir)).endswith("0000005")
+
+    abstract = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), state
+    )
+    restored, status = restore_checkpoint(latest, abstract)
+    assert float(restored.params["llm"]["w"][0, 0]) == 2.5
+    assert status == {"d": {0: [1, 2]}}
