@@ -236,6 +236,7 @@ def bagel_forward_train(
     context_parallel=None,
     sparse_block=None,
     expert_parallel=None,  # (Mesh, axis): MoT experts sharded 2-way
+    remat="full",  # per-layer activation ckpt: full | dots | none
 ) -> Dict[str, jax.Array]:
     """Packed training forward -> per-element losses.
 
@@ -269,13 +270,14 @@ def bagel_forward_train(
         hidden = ep_llm_forward_train(
             params["llm"], cfg.llm, seq, batch.position_ids, mask,
             batch.gen_mask, ep_mesh, ep_axis, precision,
-            mask_meta=meta, attn_chunk=attn_chunk,
+            mask_meta=meta, attn_chunk=attn_chunk, remat=remat,
         )
     else:
         hidden = qwen2.llm_forward_train(
             params["llm"], cfg.llm, seq, batch.position_ids, mask,
             batch.gen_mask, precision, mask_meta=meta, attn_chunk=attn_chunk,
             context_parallel=context_parallel, sparse_block=sparse_block,
+            remat=remat,
         )
     return _train_heads(params, cfg, batch, noise, hidden, timesteps,
                         precision)
@@ -290,6 +292,7 @@ def bagel_forward_train_pp(
     axis: str = "pp",
     precision=None,
     attn_chunk=None,
+    remat="full",
 ) -> Dict[str, jax.Array]:
     """Pipeline-parallel packed training forward over a stacked batch.
 
@@ -313,6 +316,7 @@ def bagel_forward_train_pp(
     hidden = pipeline_llm_forward_train(
         params["llm"], cfg.llm, seqs, batch.position_ids, batch.gen_mask,
         masks, mesh, axis, precision, mask_meta=meta, attn_chunk=attn_chunk,
+        remat=remat,
     )
     return jax.vmap(
         lambda b, n, h, t: _train_heads(params, cfg, b, n, h, t, precision)

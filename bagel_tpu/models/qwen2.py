@@ -585,6 +585,29 @@ def _select(gen_mask, gen_val, und_val):
     return jnp.where(mask, gen_val, und_val)
 
 
+def remat_wrap(body, remat):
+    """Per-layer activation checkpointing for the scan body (the reference
+    wraps decoder layers in apply_activation_checkpointing NO_REENTRANT,
+    pretrain_unified_navit.py:567-573).
+
+    remat: True/'full' saves nothing (min HBM, recomputes the layer in the
+    backward — the reference's only mode); 'dots' keeps matmul outputs
+    (jax dots_with_no_batch_dims_saveable: ~half the recompute FLOPs for
+    one activations-sized HBM slab per layer — the right trade when the
+    step is MXU-bound and memory has headroom); False/'none' disables
+    checkpointing (XLA keeps all residuals)."""
+    if remat in (False, None, "none"):
+        return body
+    if remat in (True, "full"):
+        return jax.checkpoint(body)
+    if remat == "dots":
+        return jax.checkpoint(
+            body,
+            policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+        )
+    raise ValueError(f"remat must be full|dots|none, got {remat!r}")
+
+
 def llm_forward_train(
     params: dict,
     cfg: Qwen2Config,
@@ -694,11 +717,7 @@ def llm_forward_train(
         return train_layer_block(cfg, lp, x, attend, gen_mask, cos, sin,
                                  precision), None
 
-    if remat:
-        # per-layer activation checkpointing (the reference wraps decoder
-        # layers in apply_activation_checkpointing NO_REENTRANT,
-        # pretrain_unified_navit.py:567-573)
-        body = jax.checkpoint(body)
+    body = remat_wrap(body, remat)
     x, _ = lax.scan(body, x, params["layers"])
 
     if cfg.use_moe:

@@ -207,8 +207,9 @@ def ep_llm_forward_train(
             x = res + m.astype(res.dtype)
             return x, None
 
-        if remat:
-            layer = jax.checkpoint(layer)
+        from bagel_tpu.models.qwen2 import remat_wrap
+
+        layer = remat_wrap(layer, remat)
         x, _ = lax.scan(layer, x, {"ep": local, "sh": shared})
         return x
 

@@ -128,8 +128,9 @@ def pipeline_llm_forward_train(
                     cfg, lp, xc, attend, gm, c, s_, precision
                 ), None
 
-            if remat:
-                layer = jax.checkpoint(layer)
+            from bagel_tpu.models.qwen2 import remat_wrap
+
+            layer = remat_wrap(layer, remat)
             y, _ = lax.scan(layer, x, local)
             return y
 

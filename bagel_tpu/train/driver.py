@@ -130,6 +130,13 @@ def parse_args(argv=None):
     p.add_argument("--gradient_accumulation_steps", type=int, default=1)
     p.add_argument("--mesh", type=str, default=None,
                    help="dp,fsdp,tp e.g. 1,8,1; default all-fsdp")
+    p.add_argument("--remat", type=str, default="full",
+                   choices=["full", "dots", "none"],
+                   help="per-layer activation checkpointing: full = save "
+                        "nothing (reference NO_REENTRANT semantics, min "
+                        "HBM); dots = keep matmul outputs (less backward "
+                        "recompute, one activations slab per layer); none "
+                        "= XLA keeps all residuals")
     p.add_argument("--attn_chunk", type=int, default=None,
                    help="chunked packed attention (no dense [S,S] mask)")
     p.add_argument("--sparse_block", type=int, default=None,
@@ -286,6 +293,7 @@ def make_grad_and_apply(cfg, tx, args, mesh=None):
                 attn_chunk=args.attn_chunk, context_parallel=cp,
                 sparse_block=getattr(args, "sparse_block", None),
                 pipeline_parallel=pp, expert_parallel=ep,
+                remat=getattr(args, "remat", "full"),
             ),
             has_aux=True,
         )(params)

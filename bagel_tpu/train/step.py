@@ -134,6 +134,7 @@ def compute_losses(
     sparse_block=None,
     pipeline_parallel=None,  # (Mesh, axis_name): GPipe over the layer stack
     expert_parallel=None,  # (Mesh, axis_name): MoT experts sharded 2-way
+    remat="full",  # per-layer activation checkpointing: full | dots | none
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     if pipeline_parallel is not None:
         # batch rows become pipeline microbatches flowing through the
@@ -141,7 +142,7 @@ def compute_losses(
         pp_mesh, pp_axis = pipeline_parallel
         outs = bagel_forward_train_pp(
             params, cfg, batch, noise, pp_mesh, pp_axis,
-            precision=precision, attn_chunk=attn_chunk,
+            precision=precision, attn_chunk=attn_chunk, remat=remat,
         )
     elif context_parallel is not None:
         # ring attention shard_maps inside the forward; vmap over batch is
@@ -149,14 +150,16 @@ def compute_losses(
         assert batch.position_ids.shape[0] == 1, "context_parallel needs B=1"
         one = jax.tree.map(lambda x: x[0], batch)
         outs = bagel_forward_train(params, cfg, one, noise[0], precision,
-                                   context_parallel=context_parallel)
+                                   context_parallel=context_parallel,
+                                   remat=remat)
         outs = jax.tree.map(lambda x: x[None], outs)
     else:
         outs = jax.vmap(
             lambda b, n: bagel_forward_train(params, cfg, b, n, precision,
                                              attn_chunk=attn_chunk,
                                              sparse_block=sparse_block,
-                                             expert_parallel=expert_parallel)
+                                             expert_parallel=expert_parallel,
+                                             remat=remat)
         )(batch, noise)
 
     ce_w = outs["ce_weight"]
@@ -184,6 +187,7 @@ def make_train_step(
     ema_decay: float = 0.9999,
     precision=None,
     frozen=(),
+    remat="full",
 ):
     """Build the jitted train step: (state, batch, rng) -> (state, metrics).
 
@@ -199,7 +203,7 @@ def make_train_step(
         def loss_fn(params):
             return compute_losses(
                 freeze_stop_gradient(params, frozen), cfg, batch, noise,
-                ce_weight, mse_weight, precision
+                ce_weight, mse_weight, precision, remat=remat
             )
 
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(

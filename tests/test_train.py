@@ -159,3 +159,32 @@ def test_sharded_train_step_on_mesh(setup):
     step1 = jax.jit(make_train_step(cfg, tx))
     _, m1 = step1(state1, batch, jax.random.PRNGKey(0))
     np.testing.assert_allclose(float(m1["loss"]), loss_sharded, rtol=1e-3)
+
+
+def test_remat_policies_gradient_parity(setup):
+    """full / dots / none activation-checkpointing produce identical loss
+    and gradients (remat is a memory/recompute trade, never a numerics
+    change) — fp32 CPU, exact comparison."""
+    from bagel_tpu.train.step import compute_losses
+
+    cfg, params, batch = setup
+    noise = jnp.zeros(
+        (batch.position_ids.shape[0], batch.vae_patches.shape[1],
+         cfg.patch_latent_dim)
+    )
+
+    def grads(remat):
+        def loss(p):
+            l, _ = compute_losses(p, cfg, batch, noise, ce_weight=1.0,
+                                  mse_weight=1.0, remat=remat)
+            return l
+        return jax.jit(jax.value_and_grad(loss))(params)
+
+    (l_full, g_full) = grads("full")
+    for mode in ("dots", "none"):
+        l_m, g_m = grads(mode)
+        assert float(jnp.abs(l_full - l_m)) < 1e-6, mode
+        diffs = jax.tree.map(
+            lambda a, b: float(jnp.abs(a - b).max()), g_full, g_m
+        )
+        assert max(jax.tree.leaves(diffs)) < 1e-5, (mode, diffs)
