@@ -74,14 +74,20 @@ def _bucket(n: int, step: Optional[int] = None) -> int:
 
 @dataclasses.dataclass
 class GenContext:
-    """One conversation context (mirrors inferencer.py:31-37 gen_context)."""
+    """One conversation context (mirrors inferencer.py:31-37 gen_context).
+
+    text_ids: token history of every text block consumed so far — the
+    lookup corpus for prompt-lookup speculative decode (gen_text
+    speculative=K). Image blocks contribute no matchable ids."""
 
     cache: KVCache
     kv_len: int = 0
     rope: int = 0
+    text_ids: tuple = ()
 
     def copy(self) -> "GenContext":
-        return GenContext(cache=self.cache, kv_len=self.kv_len, rope=self.rope)
+        return GenContext(cache=self.cache, kv_len=self.kv_len,
+                          rope=self.rope, text_ids=self.text_ids)
 
 
 # ---------------------------------------------------------------------------
@@ -349,7 +355,9 @@ class BagelEngine:
             self.params, self.cfg, ctx.cache, jnp.asarray(ids_arr),
             jnp.asarray(pos), jnp.asarray([t], jnp.int32),
         )
-        return GenContext(cache=cache, kv_len=ctx.kv_len + t, rope=ctx.rope + t)
+        return GenContext(cache=cache, kv_len=ctx.kv_len + t,
+                          rope=ctx.rope + t,
+                          text_ids=ctx.text_ids + tuple(ids))
 
     def _prep_image_tokens(self, image: np.ndarray, patch: int, max_side: int):
         """image HWC [-1,1] -> (patches [n, p*p*3], pos_ids [n], h, w)."""
@@ -401,7 +409,8 @@ class BagelEngine:
                 jnp.asarray(ctx.rope, jnp.int32),
                 jnp.asarray([n + 2], jnp.int32), jnp.asarray(0.0),
             )
-            ctx = GenContext(cache=cache, kv_len=ctx.kv_len + n + 2, rope=ctx.rope + 1)
+            ctx = GenContext(cache=cache, kv_len=ctx.kv_len + n + 2,
+                             rope=ctx.rope + 1, text_ids=ctx.text_ids)
         if vit:
             patch = self.cfg.vit.patch_size
             image = self._crop_to_multiple(full_image, patch)
@@ -424,7 +433,8 @@ class BagelEngine:
                 jnp.asarray(seg), jnp.asarray(ctx.rope, jnp.int32),
                 jnp.asarray([n + 2], jnp.int32),
             )
-            ctx = GenContext(cache=cache, kv_len=ctx.kv_len + n + 2, rope=ctx.rope + 1)
+            ctx = GenContext(cache=cache, kv_len=ctx.kv_len + n + 2,
+                             rope=ctx.rope + 1, text_ids=ctx.text_ids)
         return ctx
 
     # -- generation ---------------------------------------------------------
@@ -432,15 +442,40 @@ class BagelEngine:
     def gen_text(
         self, ctx: GenContext, max_length: int = 500, do_sample: bool = False,
         temperature: float = 1.0, rng: Optional[jax.Array] = None,
+        speculative: int = 0, ngram: int = 3,
     ) -> str:
+        """speculative=K (greedy only): prompt-lookup speculative decode —
+        verify K drafted tokens per forward, token-identical output, large
+        decode speedups when the answer echoes the context (edit/VQA/chat;
+        inference/speculative.py). Needs K+1 extra KV headroom."""
         start = jnp.asarray([self.new_token_ids["bos_token_id"]], jnp.int32)
         pos = jnp.asarray([ctx.rope], jnp.int32)
-        toks, _ = _decode_jit(
-            self.params, self.cfg, ctx.cache, start, pos,
-            max_steps=max_length, eos_id=self.new_token_ids["eos_token_id"],
-            temperature=temperature, do_sample=do_sample,
-            rng=rng if rng is not None else jax.random.PRNGKey(0),
-        )
+        if speculative > 0 and not do_sample:
+            from bagel_tpu.inference.speculative import decode_text_spec_jit
+
+            assert ctx.kv_len + max_length + speculative + 1 <= self.max_kv, (
+                "speculative decode needs draft_len+1 KV headroom "
+                f"(kv_len={ctx.kv_len}, max_length={max_length}, "
+                f"max_kv={self.max_kv})"
+            )
+            hist = list(ctx.text_ids)
+            hb = _bucket(max(len(hist), 1))
+            harr = np.zeros((1, hb), np.int32)
+            harr[0, : len(hist)] = hist
+            toks, _ = decode_text_spec_jit(
+                self.params["llm"], self.cfg.llm, ctx.cache, start, pos,
+                jnp.asarray(harr), jnp.asarray([len(hist)], jnp.int32),
+                max_steps=max_length,
+                eos_id=self.new_token_ids["eos_token_id"],
+                draft_len=speculative, ngram=ngram,
+            )
+        else:
+            toks, _ = _decode_jit(
+                self.params, self.cfg, ctx.cache, start, pos,
+                max_steps=max_length, eos_id=self.new_token_ids["eos_token_id"],
+                temperature=temperature, do_sample=do_sample,
+                rng=rng if rng is not None else jax.random.PRNGKey(0),
+            )
         toks = np.asarray(toks[0]).tolist()
         eos = self.new_token_ids["eos_token_id"]
         if eos in toks:
@@ -747,6 +782,7 @@ class BagelEngine:
         image_shapes: Tuple[int, int] = (1024, 1024),
         enable_taylorseer: bool = False,
         rng: Optional[jax.Array] = None,
+        speculative: int = 0,
     ) -> List[Union[str, np.ndarray]]:
         output = []
         ctx = self.init_context()
@@ -781,7 +817,7 @@ class BagelEngine:
             output.append(
                 self.gen_text(
                     ctx, max_length=max_think_token_n, do_sample=do_sample,
-                    temperature=text_temperature,
+                    temperature=text_temperature, speculative=speculative,
                 )
             )
             return output
@@ -789,7 +825,7 @@ class BagelEngine:
         if think:
             txt = self.gen_text(
                 ctx, max_length=max_think_token_n, do_sample=do_sample,
-                temperature=text_temperature,
+                temperature=text_temperature, speculative=speculative,
             )
             ctx = self.update_context_text(txt, ctx)
             output.append(txt)
