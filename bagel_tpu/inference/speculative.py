@@ -141,6 +141,10 @@ def decode_text_spec(
             jnp.any(is_eos, axis=1), jnp.argmax(is_eos, axis=1), k
         )
         n_emit = jnp.where(live, jnp.minimum(a, e) + 1, 0)  # [B]
+        # never emit (or keep cache entries) past the step budget: chunked
+        # callers (serving runtime) rely on out_len <= max_steps and on the
+        # cache holding exactly the delivered tokens
+        n_emit = jnp.minimum(n_emit, jnp.maximum(max_steps - out_len, 0))
 
         # scatter emitted tokens into out and the history buffer
         emit_m = jj < n_emit[:, None]

@@ -121,6 +121,24 @@ def _decode_chunk_jit(params, cfg, cache, start, pos, active, *, max_steps,
     )
 
 
+@partial(jax.jit,
+         static_argnames=("cfg", "max_steps", "eos_id", "draft_len", "ngram"),
+         donate_argnames=("cache",))
+def _decode_spec_chunk_jit(params, cfg, cache, start, pos, active, hist,
+                           hist_len, *, max_steps, eos_id, draft_len, ngram):
+    """Speculative chunk: same contract as _decode_chunk_jit (continuing
+    rows consume exactly max_steps tokens — decode_text_spec caps emission
+    at the budget), but each forward verifies draft_len prompt-lookup
+    tokens, so repetitive completions finish in far fewer weight passes."""
+    from bagel_tpu.inference.speculative import decode_text_spec
+
+    return decode_text_spec(
+        params["llm"], cfg.llm, cache, start, pos, hist, hist_len,
+        max_steps=max_steps, eos_id=eos_id, draft_len=draft_len,
+        ngram=ngram, active=active,
+    )
+
+
 class ServingRuntime:
     def __init__(
         self,
@@ -129,6 +147,8 @@ class ServingRuntime:
         decode_chunk: int = 16,
         max_new_default: int = 256,
         mesh=None,
+        speculative: int = 0,
+        ngram: int = 3,
     ):
         """mesh: optional jax.sharding.Mesh (dp, fsdp, tp). When given, the
         slot-batched KV cache is created sharded — slots over dp, KV heads
@@ -144,6 +164,13 @@ class ServingRuntime:
         self.decode_chunk = decode_chunk
         self.max_new_default = max_new_default
         self.mesh = mesh
+        # speculative=K: prompt-lookup speculative decode inside every
+        # chunk (inference/speculative.py) — per-slot token histories are
+        # the lookup corpus; greedy-exact, so served text is unchanged
+        self.speculative = speculative
+        self.ngram = ngram
+        self.hist = np.zeros((slots, engine.max_kv), np.int32)
+        self.hist_len = np.zeros(slots, np.int32)
         self.cache: KVCache = kv_cache_init(
             engine.cfg.llm, slots, engine.max_kv,
             getattr(engine, "kv_dtype", engine.cache_dtype),
@@ -468,6 +495,12 @@ class ServingRuntime:
                 next_token=eng.new_token_ids["bos_token_id"],
                 next_pos=rope[i] + len(ids_list[i]),
             )
+            # lookup corpus for speculative decode: the prompt's token ids
+            # (emitted tokens are appended as chunks complete)
+            self.hist[i, :] = 0
+            n = min(len(ids_list[i]), self.hist.shape[1])
+            self.hist[i, :n] = ids_list[i][:n]
+            self.hist_len[i] = n
 
     def _decode_step(self):
         """One decode chunk over all active slots; retire finished rows."""
@@ -478,8 +511,13 @@ class ServingRuntime:
         # with what they have (instead of asserting and killing the
         # scheduler thread); dynamic_update_slice would clamp and corrupt
         lengths = np.asarray(self.cache.length)
+        # speculative chunks transiently write draft_len+1 entries past the
+        # consumed length before rolling back — include that in the margin
+        margin = self.decode_chunk + (
+            self.speculative + 1 if self.speculative > 0 else 0
+        )
         for i, s in enumerate(self.slot_state):
-            if s is not None and int(lengths[i]) + self.decode_chunk > eng.max_kv:
+            if s is not None and int(lengths[i]) + margin > eng.max_kv:
                 # count before resolving the future: a client observing
                 # completion must see its request in the stats
                 self.stats["chat_done"] += 1
@@ -494,11 +532,21 @@ class ServingRuntime:
                 start[i], pos[i], active[i] = s.next_token, s.next_pos, True
         if not active.any():
             return
-        toks, self.cache = _decode_chunk_jit(
-            eng.params, eng.cfg, self.cache, jnp.asarray(start),
-            jnp.asarray(pos), jnp.asarray(active),
-            max_steps=self.decode_chunk, eos_id=eos,
-        )
+        if self.speculative > 0:
+            toks, self.cache = _decode_spec_chunk_jit(
+                eng.params, eng.cfg, self.cache, jnp.asarray(start),
+                jnp.asarray(pos), jnp.asarray(active),
+                jnp.asarray(self.hist),
+                jnp.asarray(self.hist_len),
+                max_steps=self.decode_chunk, eos_id=eos,
+                draft_len=self.speculative, ngram=self.ngram,
+            )
+        else:
+            toks, self.cache = _decode_chunk_jit(
+                eng.params, eng.cfg, self.cache, jnp.asarray(start),
+                jnp.asarray(pos), jnp.asarray(active),
+                max_steps=self.decode_chunk, eos_id=eos,
+            )
         toks = np.asarray(toks)
         self.stats["chunks"] += 1
         for i, s in enumerate(self.slot_state):
@@ -521,6 +569,14 @@ class ServingRuntime:
                 self._retire(i)
                 s.req.future.set_result(eng.tokenizer.decode(s.produced))
             else:
+                if self.speculative > 0:
+                    # consumed inputs this chunk = chunk start + all
+                    # emitted except the still-pending last token
+                    consumed = [start[i]] + new[:-1]
+                    h = int(self.hist_len[i])
+                    m = min(len(consumed), self.hist.shape[1] - h)
+                    self.hist[i, h : h + m] = consumed[:m]
+                    self.hist_len[i] = h + m
                 s.next_token = new[-1]
                 s.next_pos += self.decode_chunk
 

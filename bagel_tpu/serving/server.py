@@ -302,13 +302,18 @@ def main(argv: Optional[list] = None):
     ap.add_argument("--host", type=str, default="127.0.0.1")
     ap.add_argument("--slots", type=int, default=8)
     ap.add_argument("--decode_chunk", type=int, default=16)
+    ap.add_argument("--speculative", type=int, default=0,
+                    help="K>0: prompt-lookup speculative decode per chunk "
+                         "(greedy-exact; big wins on context-echoing chats)")
+    ap.add_argument("--ngram", type=int, default=3)
     own, rest = ap.parse_known_args(argv)
     args = parse_args(rest)
 
     engine, vae_tf, vit_tf = build_engine(args)
     mesh = getattr(engine, "mesh", None)
     rt = ServingRuntime(engine, slots=own.slots,
-                        decode_chunk=own.decode_chunk, mesh=mesh)
+                        decode_chunk=own.decode_chunk, mesh=mesh,
+                        speculative=own.speculative, ngram=own.ngram)
     rt.start()
     server = BagelServer(rt, vae_tf, vit_tf)
     httpd = serve(server, own.host, args.port)

@@ -173,3 +173,32 @@ def test_runtime_multi_image_request(engine):
         ctx = engine.update_context_image(im, ctx, vae=False, vit=True)
     ctx = engine.update_context_text(prompt, ctx)
     assert got == engine.gen_text(ctx, max_length=6)
+
+
+def test_runtime_speculative_parity(engine):
+    """speculative=K inside the chunked scheduler is greedy-exact: same
+    completions as the plain runtime, including slot reuse and eos/budget
+    retirement. Repetitive prompts make the lookup actually fire."""
+    rng = np.random.default_rng(7)
+    images = [None, rng.standard_normal((28, 28, 3)).astype(np.float32) * 0.3,
+              None]
+    prompts = [
+        "repeat repeat repeat the repeat pattern repeat",
+        "what is shown here? what is shown?",
+        "the quick brown fox and the quick brown fox",
+    ]
+
+    def run(spec):
+        rt = ServingRuntime(engine, slots=2, decode_chunk=4,
+                            max_new_default=8, speculative=spec, ngram=2)
+        rt.start()
+        try:
+            futs = [rt.submit_chat(p, image=im)
+                    for p, im in zip(prompts, images)]
+            return [f.result(timeout=600) for f in futs]
+        finally:
+            rt.stop()
+
+    plain = run(0)
+    spec = run(3)
+    assert spec == plain
