@@ -472,6 +472,91 @@ def run_decode_bench(depth: int, dtype_name: str, prompt_len: int = 512,
     return new_tokens / (time.perf_counter() - t0)
 
 
+def run_spec_decode_bench(depth: int, dtype_name: str, prompt_len: int = 512,
+                          new_tokens: int = 128, draft_len: int = 7):
+    """Speculative-decode win at full draft acceptance (the echo régime).
+
+    Oracle-replay protocol: decode new_tokens greedily, then decode the
+    SAME session again with the first pass's output as the prompt-lookup
+    corpus — the n-gram draft then proposes exactly the model's own next
+    tokens, which is what happens when a served answer echoes its context
+    (edit instructions, OCR readback, chat rewrites). Outputs are asserted
+    token-identical; the pair (plain tok/s, spec tok/s) brackets the
+    production speedup between zero and full acceptance.
+    Returns (plain_tok_s, spec_tok_s, matched: bool)."""
+    import jax
+    import jax.numpy as jnp
+
+    from bagel_tpu.configs import Qwen2Config
+    from bagel_tpu.inference.speculative import decode_text_spec
+    from bagel_tpu.models import (
+        decode_text, embed_tokens, init_qwen2_params, kv_cache_init,
+        llm_extend,
+    )
+
+    dtype = jnp.bfloat16 if dtype_name != "fp32" else jnp.float32
+    cfg = Qwen2Config(num_hidden_layers=depth)
+    fuse = os.environ.get("BAGEL_FUSE", "1") == "1"
+    if dtype_name in ("int8", "w8a8", "int4"):
+        params = _fast_quantized_llm(cfg, mode=dtype_name, fused=fuse)
+    elif jax.default_backend() == "tpu":
+        params = fast_llm_params(cfg, dtype, fused=fuse)
+    else:
+        params = init_qwen2_params(jax.random.PRNGKey(0), cfg, dtype)
+        if fuse:
+            from bagel_tpu.models.qwen2 import fuse_llm_params
+
+            params = fuse_llm_params(params)
+    ids = jax.random.randint(jax.random.PRNGKey(1), (1, prompt_len), 0,
+                             cfg.vocab_size)
+
+    def fresh_cache():
+        c = kv_cache_init(
+            cfg, 1, prompt_len + new_tokens + draft_len + 160, dtype
+        )
+        _, c = jax.jit(
+            lambda p, e, cc: llm_extend(
+                p, cfg, e, jnp.arange(prompt_len)[None], cc,
+                jnp.asarray([prompt_len]), und_len=prompt_len, causal=True,
+                update_cache=True,
+            )
+        )(params, embed_tokens(params, ids), c)
+        return c
+
+    plain = jax.jit(
+        lambda p, c: decode_text(
+            p, cfg, c, jnp.asarray([3]), jnp.asarray([prompt_len]),
+            max_steps=new_tokens, eos_id=-1,
+        )
+    )
+    toks = np.asarray(plain(params, fresh_cache())[0])  # compile+warmup
+    c1 = fresh_cache()  # prefill outside the timed window
+    t0 = time.perf_counter()
+    toks = np.asarray(plain(params, c1)[0])
+    plain_s = time.perf_counter() - t0
+
+    # oracle corpus: prompt + the model's own output
+    corpus = np.concatenate(
+        [np.asarray(ids, np.int32),
+         np.asarray([[3]], np.int32), toks.astype(np.int32)], axis=1
+    )
+    spec = jax.jit(
+        lambda p, c, ctx: decode_text_spec(
+            p, cfg, c, jnp.asarray([3]), jnp.asarray([prompt_len]),
+            ctx, jnp.asarray([corpus.shape[1]]),
+            max_steps=new_tokens, eos_id=-1, draft_len=draft_len,
+        )[0]
+    )
+    ctx_dev = jnp.asarray(corpus)
+    stoks = np.asarray(spec(params, fresh_cache(), ctx_dev))
+    c2 = fresh_cache()
+    t0 = time.perf_counter()
+    stoks = np.asarray(spec(params, c2, ctx_dev))
+    spec_s = time.perf_counter() - t0
+    matched = bool((stoks == toks).all())
+    return new_tokens / plain_s, new_tokens / spec_s, matched
+
+
 # ---------------------------------------------------------------------------
 # Training step benchmark (fwd+bwd)
 # ---------------------------------------------------------------------------
@@ -666,6 +751,15 @@ def _child_main(args):
         except Exception as e:
             print(f"# main serve kv_quant failed: {e!r}", file=sys.stderr,
                   flush=True)
+        gc.collect()
+        try:
+            # speculative decode at full draft acceptance (oracle replay):
+            # brackets the serving win between zero and full echo
+            p_t, s_t, ok = run_spec_decode_bench(FULL_DEPTH, "w8a8")
+            print(f"SPECDEC {p_t} {s_t} {int(ok)}", flush=True)
+        except Exception as e:
+            print(f"# main specdecode failed: {e!r}", file=sys.stderr,
+                  flush=True)
         return
     fn = run_denoise_naive if args.schedule == "naive" else run_denoise_production
     elapsed, detail = fn(args.depth, args.image, args.steps, args.dtype)
@@ -695,6 +789,11 @@ def _parse_child_stdout(stdout: str) -> dict:
             out["serveq_tokens"] = int(parts[2])
             out["serveq_elapsed"] = float(parts[3])
             out["serveq_slots"] = int(parts[4])
+        elif line.startswith("SPECDEC "):
+            parts = line.split()
+            out["specdec_plain"] = float(parts[1])
+            out["specdec_spec"] = float(parts[2])
+            out["specdec_exact"] = bool(int(parts[3]))
         elif line.startswith("DETAIL "):
             out["detail"] = json.loads(line[len("DETAIL "):])
     return out
@@ -777,6 +876,7 @@ def main():
         quant_denoise, quant_decode = {}, {}
         train_point = None
         serve_point = serveq_point = None
+        spec_point = None
         qdetail = {}
         try:
             decode_points = [(2, run_decode_bench(2, "fp32", prompt_len=32,
@@ -799,6 +899,7 @@ def main():
         decode_points = []
         train_point = None
         serve_point = serveq_point = None
+        spec_point = None
         qdetail = {}
 
         # ---- main combined attempt: headline w8a8 full-depth denoise, then
@@ -820,6 +921,8 @@ def main():
                 serve_point = r
             if "serveq_tok_s" in r:
                 serveq_point = r
+            if "specdec_spec" in r:
+                spec_point = r
 
         def denoise_bf16():
             nonlocal elapsed, detail, depth
@@ -968,6 +1071,22 @@ def main():
             "note": (
                 "same workload with the int8 KV cache (half the cache "
                 "HBM) at 2x the slot count"
+            ),
+        }
+    if spec_point is not None:
+        result["detail"]["speculative_decode_echo"] = {
+            "plain_tok_per_s": round(spec_point["specdec_plain"], 2),
+            "spec_tok_per_s": round(spec_point["specdec_spec"], 2),
+            "speedup": round(
+                spec_point["specdec_spec"]
+                / max(spec_point["specdec_plain"], 1e-9), 2
+            ),
+            "greedy_exact": spec_point["specdec_exact"],
+            "note": (
+                "prompt-lookup speculative decode (draft_len=7) at FULL "
+                "draft acceptance via oracle replay — the upper bracket of "
+                "the serving win; zero-acceptance cost equals one plain "
+                "step per chunk (inference/speculative.py)"
             ),
         }
     result["detail"]["bench_wall_s"] = round(time.monotonic() - _T0, 1)

@@ -129,3 +129,30 @@ def test_bf16_failed_but_quant_measured_is_headline(monkeypatch, capsys):
     assert res["value"] == round(1.0 / 27.38, 5)
     assert "w8a8 full-depth measured" in res["detail"]["headline_basis"]
     assert "bf16_extrapolated_img_per_s" not in res["detail"]
+
+
+def test_specdec_detail_and_parser(monkeypatch, capsys):
+    """SPECDEC child lines surface as the speculative_decode_echo detail
+    (speedup ratio + greedy-exact flag)."""
+    parsed = bench._parse_child_stdout(
+        "ELAPSED 20.0\nSPECDEC 95.0 412.5 1\n"
+    )
+    assert parsed["specdec_plain"] == 95.0
+    assert parsed["specdec_spec"] == 412.5
+    assert parsed["specdec_exact"] is True
+
+    res = run_main_with_fake_spawn(
+        monkeypatch, capsys,
+        {
+            ("main", 28, "w8a8"): {
+                "elapsed": 27.38, "decode": 95.4,
+                "specdec_plain": 95.0, "specdec_spec": 412.5,
+                "specdec_exact": True,
+            },
+        },
+    )
+    sd = res["detail"]["speculative_decode_echo"]
+    assert sd["plain_tok_per_s"] == 95.0
+    assert sd["spec_tok_per_s"] == 412.5
+    assert sd["speedup"] == pytest.approx(4.34, abs=0.01)
+    assert sd["greedy_exact"] is True
