@@ -202,3 +202,29 @@ def test_runtime_speculative_parity(engine):
     plain = run(0)
     spec = run(3)
     assert spec == plain
+
+
+def test_runtime_sharded_mesh_speculative(engine):
+    """Speculative chunks compose with the mesh-sharded slot cache: the
+    verify-block extend, per-row length rollback, and n-gram gathers all
+    lower under GSPMD, and output stays greedy-exact."""
+    from bagel_tpu.parallel import make_mesh, shard_params
+
+    cfg = engine.cfg
+    mesh = make_mesh((1, 2, 4))
+    prompts = ("repeat after me repeat after", "hello hello hello there")
+    with mesh:
+        sparams = shard_params(mesh, engine.params)
+        seng = BagelEngine(sparams, cfg, engine.tokenizer,
+                           engine.new_token_ids, max_kv=512)
+        rt = ServingRuntime(seng, slots=2, decode_chunk=3,
+                            max_new_default=6, mesh=mesh, speculative=2,
+                            ngram=2)
+        rt.start()
+        try:
+            futs = [rt.submit_chat(p) for p in prompts]
+            got = [f.result(timeout=600) for f in futs]
+        finally:
+            rt.stop()
+    for p, g in zip(prompts, got):
+        assert g == _sequential(engine, None, p, 6), (p, g)
