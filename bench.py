@@ -698,6 +698,10 @@ def _child_main(args):
         tok_s = run_decode_bench(args.depth, args.dtype)
         print(f"DECODE {tok_s}", flush=True)
         return
+    if args.mode == "specdecode":
+        p_t, s_t, ok = run_spec_decode_bench(args.depth, args.dtype)
+        print(f"SPECDEC {p_t} {s_t} {int(ok)}", flush=True)
+        return
     if args.mode == "train":
         step_s, tokens = run_train_bench(args.depth, args.dtype)
         print(f"TRAIN {step_s} {tokens}", flush=True)
@@ -845,7 +849,8 @@ def main():
     ap.add_argument("--steps", type=int, default=None)
     ap.add_argument("--image", type=int, default=None)
     ap.add_argument("--mode", default=None,
-                    choices=[None, "denoise", "decode", "train", "serve", "main"],
+                    choices=[None, "denoise", "decode", "specdecode",
+                             "train", "serve", "main"],
                     help="internal: child runs one attempt and prints raw numbers")
     ap.add_argument("--slots", type=int, default=12,
                     help="serving-runtime bench slot count (12 measured best\n                    single-chip: 437 tok/s vs 356 at 8; 16 OOMs w8a8 full depth)")
