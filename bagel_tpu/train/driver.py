@@ -128,6 +128,12 @@ def parse_args(argv=None):
     p.add_argument("--mse_weight", type=float, default=1.0)
     p.add_argument("--ema", type=float, default=0.9999)
     p.add_argument("--gradient_accumulation_steps", type=int, default=1)
+    p.add_argument("--optimizer_offload", action="store_true",
+                   help="keep Adam moments resident in host memory "
+                        "(pinned_host), round-tripping through HBM only "
+                        "during the update — the reference's FSDP "
+                        "cpu_offload, TPU-native. Frees ~8 bytes/param of "
+                        "HBM at the cost of host<->device moment traffic")
     p.add_argument("--mesh", type=str, default=None,
                    help="dp,fsdp,tp e.g. 1,8,1; default all-fsdp")
     p.add_argument("--remat", type=str, default="full",
@@ -360,6 +366,15 @@ def main(argv=None):
         state = jax.jit(
             lambda p: init_train_state(p, tx, use_ema=args.ema > 0)
         )(params)
+        if args.optimizer_offload:
+            from bagel_tpu.train.step import opt_state_to_memory_kind
+
+            state = dataclasses.replace(
+                state,
+                opt_state=opt_state_to_memory_kind(
+                    state.opt_state, "pinned_host"
+                ),
+            )
 
     # --- resume ---
     # precedence mirrors the reference (pretrain_unified_navit.py:448-466):
@@ -566,7 +581,24 @@ def main(argv=None):
                 grads_acc = jax.tree.map(
                     lambda x: x / args.gradient_accumulation_steps, grads_acc
                 )
-            state = apply_step(state, grads_acc)
+            if args.optimizer_offload:
+                # moments: host -> HBM for the update, back to host after;
+                # the jitted update itself is all-device
+                from bagel_tpu.train.step import opt_state_to_memory_kind
+
+                state = dataclasses.replace(
+                    state, opt_state=opt_state_to_memory_kind(
+                        state.opt_state, "device"
+                    ),
+                )
+                state = apply_step(state, grads_acc)
+                state = dataclasses.replace(
+                    state, opt_state=opt_state_to_memory_kind(
+                        state.opt_state, "pinned_host"
+                    ),
+                )
+            else:
+                state = apply_step(state, grads_acc)
 
             if step % args.log_every == 0:
                 meter.seqlen_sq = float(seqsq_acc)

@@ -87,6 +87,25 @@ def freeze_stop_gradient(params: dict, frozen=()) -> dict:
     }
 
 
+def opt_state_to_memory_kind(opt_state, kind: str):
+    """Move every array leaf of an optimizer state to `kind`
+    ("pinned_host" / "device") keeping its sharding layout.
+
+    TPU-native analogue of the reference's FSDP cpu_offload flag
+    (pretrain_unified_navit.py:376-380): fp32 Adam moments for 7B are
+    ~56 GB — far beyond a 16 GB v5e chip's HBM budget at small mesh
+    sizes — so --optimizer_offload keeps them resident in host memory and
+    round-trips them through HBM only inside the update step. Frozen
+    groups' MaskedNodes carry no arrays and pass through untouched."""
+
+    def move(x):
+        if isinstance(x, jax.Array) and hasattr(x.sharding, "with_memory_kind"):
+            return jax.device_put(x, x.sharding.with_memory_kind(kind))
+        return x
+
+    return jax.tree.map(move, opt_state)
+
+
 def make_optimizer(
     lr_schedule,
     beta1: float = 0.9,

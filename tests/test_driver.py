@@ -321,3 +321,26 @@ def test_async_save_and_unfinalized_ckpt_skipped(tmp_path):
     restored, status = restore_checkpoint(latest, abstract)
     assert float(restored.params["llm"]["w"][0, 0]) == 2.5
     assert status == {"d": {0: [1, 2]}}
+
+
+def test_driver_optimizer_offload(corpus, tmp_path):
+    """--optimizer_offload end-to-end: host-resident moments through train,
+    checkpoint, and auto-resume (Orbax save/restore of pinned_host
+    arrays)."""
+    from bagel_tpu.train import driver
+
+    ckpt_dir = tmp_path / "ckpt_off"
+    common = [
+        "--preset", "micro", "--mock_tokenizer",
+        "--dataset_config", str(corpus / "data.yaml"),
+        "--ckpt_dir", str(ckpt_dir),
+        "--save_every", "2", "--log_every", "10",
+        "--expected_num_tokens", "200", "--max_num_tokens", "260",
+        "--max_num_tokens_per_sample", "250", "--warmup_steps", "1",
+        "--optimizer_offload",
+    ]
+    driver.main(common + ["--total_steps", "2"])
+    driver.main(common + ["--total_steps", "3", "--auto_resume"])
+    from bagel_tpu.train.checkpoint import get_latest_ckpt, step_from_path
+
+    assert step_from_path(get_latest_ckpt(str(ckpt_dir))) == 3

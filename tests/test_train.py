@@ -188,3 +188,47 @@ def test_remat_policies_gradient_parity(setup):
             lambda a, b: float(jnp.abs(a - b).max()), g_full, g_m
         )
         assert max(jax.tree.leaves(diffs)) < 1e-5, (mode, diffs)
+
+
+def test_optimizer_offload_memory_kind_and_parity(setup):
+    """opt_state_to_memory_kind: moments live in pinned_host between steps,
+    the update is numerically identical to the all-device path, and
+    MaskedNodes/scalars survive the round trip."""
+    import dataclasses as dc
+
+    from bagel_tpu.train.step import opt_state_to_memory_kind
+
+    cfg, params, batch = setup
+    tx = make_optimizer(make_lr_schedule(1e-3, warmup_steps=1))
+    step = jax.jit(make_train_step(cfg, tx, ce_weight=1.0, mse_weight=1.0))
+
+    s_dev = init_train_state(params, tx, use_ema=False)
+    s_off = init_train_state(params, tx, use_ema=False)
+    s_off = dc.replace(
+        s_off, opt_state=opt_state_to_memory_kind(s_off.opt_state,
+                                                  "pinned_host")
+    )
+    kinds = {
+        x.sharding.memory_kind
+        for x in jax.tree.leaves(s_off.opt_state)
+        if isinstance(x, jax.Array)
+    }
+    assert kinds == {"pinned_host"}
+
+    for _ in range(2):
+        s_dev, m_dev = step(s_dev, batch, jax.random.PRNGKey(1))
+        on = dc.replace(
+            s_off, opt_state=opt_state_to_memory_kind(s_off.opt_state,
+                                                      "device")
+        )
+        on, m_off = step(on, batch, jax.random.PRNGKey(1))
+        s_off = dc.replace(
+            on, opt_state=opt_state_to_memory_kind(on.opt_state,
+                                                   "pinned_host")
+        )
+    assert float(m_dev["loss"]) == pytest.approx(float(m_off["loss"]),
+                                                 rel=1e-6)
+    diffs = jax.tree.map(
+        lambda a, b: float(jnp.abs(a - b).max()), s_dev.params, s_off.params
+    )
+    assert max(jax.tree.leaves(diffs)) < 1e-6
