@@ -54,6 +54,9 @@ def parse_args(argv=None):
                         "int4/nf4 per-group 4-bit (bnb NF4/INT8 parity, "
                         "app.py:114-131)")
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--speculative", type=int, default=0,
+                   help="K>0: prompt-lookup speculative decode for text "
+                        "outputs (greedy-exact; inference/speculative.py)")
     p.add_argument("--no_fuse", action="store_true",
                    help="disable the fused QKV / gate-up projections")
     p.add_argument("--kv_quant", action="store_true",
@@ -152,6 +155,7 @@ def run_once(engine, vae_tf, vit_tf, args):
     )
     kwargs = dict(
         think=args.think,
+        speculative=args.speculative,
         cfg_text_scale=args.cfg_text_scale,
         cfg_img_scale=args.cfg_img_scale,
         cfg_renorm_type=renorm,
@@ -165,7 +169,8 @@ def run_once(engine, vae_tf, vit_tf, args):
         # understanding is the ViT pathway: stride-14 resize policy
         image = _load_image(args.image, vit_tf) if args.image else None
         out = engine(image=image, text=args.prompt,
-                     understanding_output=True, think=args.think)
+                     understanding_output=True, think=args.think,
+                     speculative=args.speculative)
         print(out["text"])
         return out
     image = _load_image(args.image, vae_tf) if args.image else None
@@ -272,7 +277,8 @@ def main(argv=None):
                 image = _load_image(line[5:], vit_tf)
                 print("image attached")
                 continue
-            out = engine(image=image, text=line, understanding_output=True)
+            out = engine(image=image, text=line, understanding_output=True,
+                         speculative=args.speculative)
             print(out["text"])
             image = None
         return

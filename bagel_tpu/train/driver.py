@@ -128,6 +128,11 @@ def parse_args(argv=None):
     p.add_argument("--mse_weight", type=float, default=1.0)
     p.add_argument("--ema", type=float, default=0.9999)
     p.add_argument("--gradient_accumulation_steps", type=int, default=1)
+    p.add_argument("--ema_offload", action="store_true",
+                   help="keep the EMA tree resident in host memory "
+                        "(round-tripped around the update like "
+                        "--optimizer_offload); frees another "
+                        "~2 bytes/param of HBM")
     p.add_argument("--optimizer_offload", action="store_true",
                    help="keep Adam moments resident in host memory "
                         "(pinned_host), round-tripping through HBM only "
@@ -366,13 +371,19 @@ def main(argv=None):
         state = jax.jit(
             lambda p: init_train_state(p, tx, use_ema=args.ema > 0)
         )(params)
-        if args.optimizer_offload:
+        if args.optimizer_offload or args.ema_offload:
             from bagel_tpu.train.step import opt_state_to_memory_kind
 
             state = dataclasses.replace(
                 state,
-                opt_state=opt_state_to_memory_kind(
-                    state.opt_state, "pinned_host"
+                opt_state=(
+                    opt_state_to_memory_kind(state.opt_state, "pinned_host")
+                    if args.optimizer_offload else state.opt_state
+                ),
+                ema_params=(
+                    opt_state_to_memory_kind(state.ema_params, "pinned_host")
+                    if args.ema_offload and state.ema_params is not None
+                    else state.ema_params
                 ),
             )
 
@@ -581,22 +592,27 @@ def main(argv=None):
                 grads_acc = jax.tree.map(
                     lambda x: x / args.gradient_accumulation_steps, grads_acc
                 )
-            if args.optimizer_offload:
-                # moments: host -> HBM for the update, back to host after;
+            if args.optimizer_offload or args.ema_offload:
+                # offloaded trees: host -> HBM for the update, back after;
                 # the jitted update itself is all-device
                 from bagel_tpu.train.step import opt_state_to_memory_kind
 
-                state = dataclasses.replace(
-                    state, opt_state=opt_state_to_memory_kind(
-                        state.opt_state, "device"
-                    ),
-                )
-                state = apply_step(state, grads_acc)
-                state = dataclasses.replace(
-                    state, opt_state=opt_state_to_memory_kind(
-                        state.opt_state, "pinned_host"
-                    ),
-                )
+                def _place(st, kind):
+                    return dataclasses.replace(
+                        st,
+                        opt_state=(
+                            opt_state_to_memory_kind(st.opt_state, kind)
+                            if args.optimizer_offload else st.opt_state
+                        ),
+                        ema_params=(
+                            opt_state_to_memory_kind(st.ema_params, kind)
+                            if args.ema_offload and st.ema_params is not None
+                            else st.ema_params
+                        ),
+                    )
+
+                state = _place(apply_step(_place(state, "device"),
+                                          grads_acc), "pinned_host")
             else:
                 state = apply_step(state, grads_acc)
 

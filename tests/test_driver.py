@@ -344,3 +344,22 @@ def test_driver_optimizer_offload(corpus, tmp_path):
     from bagel_tpu.train.checkpoint import get_latest_ckpt, step_from_path
 
     assert step_from_path(get_latest_ckpt(str(ckpt_dir))) == 3
+
+
+def test_driver_ema_offload(corpus, tmp_path):
+    """--ema_offload composes with --optimizer_offload: host-resident EMA
+    tree through train + checkpoint."""
+    from bagel_tpu.train import driver
+    from bagel_tpu.train.checkpoint import get_latest_ckpt, step_from_path
+
+    ckpt_dir = tmp_path / "ckpt_emaoff"
+    driver.main([
+        "--preset", "micro", "--mock_tokenizer",
+        "--dataset_config", str(corpus / "data.yaml"),
+        "--ckpt_dir", str(ckpt_dir),
+        "--total_steps", "2", "--save_every", "2", "--log_every", "10",
+        "--expected_num_tokens", "200", "--max_num_tokens", "260",
+        "--max_num_tokens_per_sample", "250", "--warmup_steps", "1",
+        "--optimizer_offload", "--ema_offload",
+    ])
+    assert step_from_path(get_latest_ckpt(str(ckpt_dir))) == 2
