@@ -59,6 +59,8 @@ def parse_args(argv=None):
                         "outputs (greedy-exact; inference/speculative.py)")
     p.add_argument("--no_fuse", action="store_true",
                    help="disable the fused QKV / gate-up projections")
+    p.add_argument("--zh", action="store_true",
+                   help="Chinese UI labels (reference app.py --zh)")
     p.add_argument("--kv_quant", action="store_true",
                    help="int8 KV cache for chat/serving sessions (half the "
                         "cache HBM => ~2x the continuous-batching slot "
@@ -183,9 +185,39 @@ def run_once(engine, vae_tf, vit_tf, args):
     return out
 
 
+# UI localization map (reference app.py applies a post-hoc component walk
+# behind --zh; here labels go through _label() at construction time).
+ZH_LABELS = {
+    "Text to Image": "文生图",
+    "Edit": "图像编辑",
+    "Understand": "图像理解",
+    "prompt": "提示词",
+    "instruction": "编辑指令",
+    "question": "问题",
+    "answer": "回答",
+    "thinking": "思考过程",
+    "think mode": "思考模式",
+    "generate": "生成",
+    "edit": "编辑",
+    "ask": "提问",
+    "size": "尺寸",
+    "timesteps": "采样步数",
+    "seed": "随机种子",
+}
+
+
+def _label(text, zh):
+    return ZH_LABELS.get(text, text) if zh else text
+
+
 def launch_ui(engine, vae_tf, vit_tf, args):
     import jax
     import gradio as gr
+
+    zh = getattr(args, "zh", False)
+
+    def L(text):
+        return _label(text, zh)
 
     def t2i(prompt, think, size, steps, cfg_text, cfg_img, shift, renorm, seed):
         out = engine(
@@ -213,44 +245,44 @@ def launch_ui(engine, vae_tf, vit_tf, args):
         return out.get("text") or ""
 
     with gr.Blocks(title="BAGEL-TPU") as demo:
-        with gr.Tab("Text to Image"):
-            prompt = gr.Textbox(label="prompt")
+        with gr.Tab(L("Text to Image")):
+            prompt = gr.Textbox(label=L("prompt"))
             with gr.Row():
-                size = gr.Slider(256, 1024, 1024, step=64, label="size")
-                steps = gr.Slider(4, 100, 50, step=1, label="timesteps")
-                cfg_text = gr.Slider(1, 8, 4.0, label="cfg_text_scale")
-                cfg_img = gr.Slider(1, 2, 1.0, label="cfg_img_scale")
-                shift = gr.Slider(1, 5, 3.0, label="timestep_shift")
+                size = gr.Slider(256, 1024, 1024, step=64, label=L("size"))
+                steps = gr.Slider(4, 100, 50, step=1, label=L("timesteps"))
+                cfg_text = gr.Slider(1, 8, 4.0, label=L("cfg_text_scale"))
+                cfg_img = gr.Slider(1, 2, 1.0, label=L("cfg_img_scale"))
+                shift = gr.Slider(1, 5, 3.0, label=L("timestep_shift"))
                 renorm = gr.Dropdown(["global", "channel", "text_channel"],
-                                     value="global", label="cfg_renorm")
-                seed = gr.Number(42, label="seed")
-            think = gr.Checkbox(label="think mode")
-            btn = gr.Button("generate")
+                                     value="global", label=L("cfg_renorm"))
+                seed = gr.Number(42, label=L("seed"))
+            think = gr.Checkbox(label=L("think mode"))
+            btn = gr.Button(L("generate"))
             img_out = gr.Image()
-            txt_out = gr.Textbox(label="thinking")
+            txt_out = gr.Textbox(label=L("thinking"))
             btn.click(t2i, [prompt, think, size, steps, cfg_text, cfg_img,
                             shift, renorm, seed], [img_out, txt_out])
-        with gr.Tab("Edit"):
+        with gr.Tab(L("Edit")):
             src = gr.Image(type="pil")
-            eprompt = gr.Textbox(label="instruction")
+            eprompt = gr.Textbox(label=L("instruction"))
             with gr.Row():
-                esteps = gr.Slider(4, 100, 50, step=1, label="timesteps")
-                ecfg_t = gr.Slider(1, 8, 4.0, label="cfg_text_scale")
-                ecfg_i = gr.Slider(1, 2, 2.0, label="cfg_img_scale")
-                eshift = gr.Slider(1, 5, 3.0, label="timestep_shift")
-                eseed = gr.Number(42, label="seed")
-            ethink = gr.Checkbox(label="think mode")
-            ebtn = gr.Button("edit")
+                esteps = gr.Slider(4, 100, 50, step=1, label=L("timesteps"))
+                ecfg_t = gr.Slider(1, 8, 4.0, label=L("cfg_text_scale"))
+                ecfg_i = gr.Slider(1, 2, 2.0, label=L("cfg_img_scale"))
+                eshift = gr.Slider(1, 5, 3.0, label=L("timestep_shift"))
+                eseed = gr.Number(42, label=L("seed"))
+            ethink = gr.Checkbox(label=L("think mode"))
+            ebtn = gr.Button(L("edit"))
             eimg = gr.Image()
-            etxt = gr.Textbox(label="thinking")
+            etxt = gr.Textbox(label=L("thinking"))
             ebtn.click(edit, [src, eprompt, ethink, esteps, ecfg_t, ecfg_i,
                               eshift, eseed], [eimg, etxt])
-        with gr.Tab("Understand"):
+        with gr.Tab(L("Understand")):
             uimg = gr.Image(type="pil")
-            uq = gr.Textbox(label="question")
-            uthink = gr.Checkbox(label="think mode")
-            ubtn = gr.Button("ask")
-            uans = gr.Textbox(label="answer")
+            uq = gr.Textbox(label=L("question"))
+            uthink = gr.Checkbox(label=L("think mode"))
+            ubtn = gr.Button(L("ask"))
+            uans = gr.Textbox(label=L("answer"))
             ubtn.click(understand, [uimg, uq, uthink], [uans])
     demo.launch(server_port=args.port, share=args.share)
 

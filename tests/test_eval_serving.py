@@ -132,3 +132,15 @@ def test_make_parquet_info(tmp_path):
     info = build_parquet_info([str(d)])
     (path, meta), = info.items()
     assert meta["num_row_groups"] == 3 and meta["num_rows"] == 10
+
+
+def test_ui_localization_labels():
+    # --zh swaps known UI strings for Chinese (reference app.py --zh applies
+    # a post-hoc component walk; ours localizes at construction time)
+    from bagel_tpu.serving.app import ZH_LABELS, _label, parse_args
+
+    assert parse_args(["--zh"]).zh and not parse_args([]).zh
+    assert _label("prompt", True) == ZH_LABELS["prompt"] != "prompt"
+    # unknown labels pass through in both modes
+    assert _label("cfg_text_scale", True) == "cfg_text_scale"
+    assert _label("prompt", False) == "prompt"
