@@ -7,9 +7,13 @@ extra FLOPs ride along free on the MXU — so any draft with nonzero
 acceptance turns bandwidth into tokens. The draft here is prompt-lookup
 (n-gram) speculation: propose the K tokens that followed the most recent
 earlier occurrence of the current trailing n-gram in the session's token
-history. No draft weights, no training, and exact greedy equivalence: the
-verify pass accepts exactly the prefix the full model would have produced,
-so outputs are token-identical to `qwen2.decode_text` greedy decoding.
+history. No draft weights, no training, and greedy equivalence: the verify
+pass accepts exactly the prefix the full model would have produced, so
+outputs are token-identical to `qwen2.decode_text` greedy decoding —
+ALGORITHMICALLY exact; in low precision the K+1-wide verify matmuls may
+accumulate in a different order than 1-token decode, so a near-tied argmax
+can flip (the same caveat applies to any batched-vs-single decode; fp32
+parity is bit-exact and is what the tests assert).
 
 Strong on the Bagel workloads that repeat context — editing instructions,
 VQA with long OCR-ish prompts, chat rewrites; graceful on prose (rejected

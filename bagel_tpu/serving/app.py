@@ -219,12 +219,15 @@ def launch_ui(engine, vae_tf, vit_tf, args):
     def L(text):
         return _label(text, zh)
 
+    spec = getattr(args, "speculative", 0)  # text decodes (incl. think)
+
     def t2i(prompt, think, size, steps, cfg_text, cfg_img, shift, renorm, seed):
         out = engine(
             text=prompt, think=think, image_shapes=(int(size), int(size)),
             num_timesteps=int(steps), cfg_text_scale=cfg_text,
             cfg_img_scale=cfg_img, timestep_shift=shift,
             cfg_renorm_type=renorm, rng=jax.random.PRNGKey(int(seed)),
+            speculative=spec,
         )
         return out.get("image"), out.get("text") or ""
 
@@ -234,14 +237,14 @@ def launch_ui(engine, vae_tf, vit_tf, args):
             image=arr, text=prompt, think=think, num_timesteps=int(steps),
             cfg_text_scale=cfg_text, cfg_img_scale=cfg_img,
             timestep_shift=shift, cfg_renorm_type="text_channel",
-            rng=jax.random.PRNGKey(int(seed)),
+            rng=jax.random.PRNGKey(int(seed)), speculative=spec,
         )
         return out.get("image"), out.get("text") or ""
 
     def understand(image, prompt, think):
         arr = vit_tf(image)  # stride-14 ViT resize, not the VAE's stride 16
         out = engine(image=arr, text=prompt, understanding_output=True,
-                     think=think)
+                     think=think, speculative=spec)
         return out.get("text") or ""
 
     with gr.Blocks(title="BAGEL-TPU") as demo:

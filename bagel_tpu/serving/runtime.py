@@ -171,12 +171,7 @@ class ServingRuntime:
         self.ngram = ngram
         self.hist = np.zeros((slots, engine.max_kv), np.int32)
         self.hist_len = np.zeros(slots, np.int32)
-        self.cache: KVCache = kv_cache_init(
-            engine.cfg.llm, slots, engine.max_kv,
-            getattr(engine, "kv_dtype", engine.cache_dtype),
-        )
-        if mesh is not None:
-            self.cache = self._shard_cache(self.cache)
+        self.cache: KVCache = self._new_cache()
         self.slot_state: List[Optional[_Slot]] = [None] * slots
         self.chat_q: "queue.Queue[_ChatRequest]" = queue.Queue()
         self.gen_q: "queue.Queue[_GenRequest]" = queue.Queue()
@@ -185,6 +180,16 @@ class ServingRuntime:
         self._thread: Optional[threading.Thread] = None
         self.stats = {"chat_done": 0, "gen_done": 0, "chunks": 0,
                       "tokens_out": 0}
+
+    def _new_cache(self) -> KVCache:
+        """The one slot-cache constructor (init + post-error recovery): a
+        divergence between the two sites would make recovery rebuild with
+        the wrong dtype/sharding."""
+        cache = kv_cache_init(
+            self.engine.cfg.llm, self.slots, self.engine.max_kv,
+            self.engine.kv_dtype,
+        )
+        return self._shard_cache(cache) if self.mesh is not None else cache
 
     def _shard_cache(self, cache: KVCache) -> KVCache:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -264,12 +269,7 @@ class ServingRuntime:
                 self.slot_state[i] = None
                 if not s.req.future.done():
                     s.req.future.set_error(err)
-        self.cache = kv_cache_init(
-            self.engine.cfg.llm, self.slots, self.engine.max_kv,
-            getattr(self.engine, "kv_dtype", self.engine.cache_dtype),
-        )
-        if self.mesh is not None:
-            self.cache = self._shard_cache(self.cache)
+        self.cache = self._new_cache()
 
     def _retire(self, i: int):
         """Free a slot AND zero its cache length — a stale length would
@@ -586,6 +586,11 @@ class ServingRuntime:
         except queue.Empty:
             return
         try:
+            # exclusive jobs inherit the runtime's speculative setting for
+            # their text decodes (think / understanding) unless the request
+            # pinned its own
+            if self.speculative > 0:
+                req.kwargs.setdefault("speculative", self.speculative)
             out = self.engine(**req.kwargs)
             self.stats["gen_done"] += 1  # count before resolving (see above)
             req.future.set_result(out)

@@ -14,6 +14,7 @@ Layout: <dir>/<step>/{state/  (orbax), data_status.json, config.json}
 from __future__ import annotations
 
 import json
+import logging
 import os
 import re
 from typing import Any, Optional, Tuple
@@ -74,7 +75,14 @@ def save_checkpoint(
     if os.path.isdir(os.path.join(path, "state")):
         # already committed for this step (e.g. the final save of a resumed
         # run that had nothing left to do) — saving again would make Orbax
-        # raise on the existing destination
+        # raise on the existing destination. Loud, because if the current
+        # state DIFFERS (a fresh run writing into an old ckpt_dir with a
+        # colliding step counter) this skip discards it; the driver refuses
+        # that layout up front (see --resume_model_only guard).
+        logging.getLogger("bagel_tpu").warning(
+            "checkpoint step %d already committed in %s — skipping save "
+            "(pre-existing state is kept)", step, ckpt_dir
+        )
         return path
     ckptr.save(os.path.join(path, "state"), state)
     if jax.process_index() == 0:

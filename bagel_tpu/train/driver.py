@@ -138,7 +138,11 @@ def parse_args(argv=None):
                         "(pinned_host), round-tripping through HBM only "
                         "during the update — the reference's FSDP "
                         "cpu_offload, TPU-native. Frees ~8 bytes/param of "
-                        "HBM at the cost of host<->device moment traffic")
+                        "HBM for the fwd/bwd (where activations peak); the "
+                        "optimizer step itself still stages the full moment "
+                        "tree through HBM in one transfer (per-leaf "
+                        "streaming would cut that peak but costs hundreds "
+                        "of dispatches per step)")
     p.add_argument("--mesh", type=str, default=None,
                    help="dp,fsdp,tp e.g. 1,8,1; default all-fsdp")
     p.add_argument("--remat", type=str, default="full",
@@ -399,6 +403,17 @@ def main(argv=None):
         resume_src, model_only = args.resume_from, args.resume_model_only
     if resume_src and model_only:
         from bagel_tpu.train.checkpoint import restore_params_only
+
+        # model-only resume resets the step counter to 0; writing into a
+        # ckpt_dir that already has committed steps would collide with them
+        # and save_checkpoint would skip (keeping the STALE weights). Refuse
+        # the layout instead of silently discarding the new run's saves.
+        if get_latest_ckpt(args.ckpt_dir) is not None:
+            raise ValueError(
+                f"--resume_model_only starts a fresh step counter but "
+                f"--ckpt_dir {args.ckpt_dir} already contains checkpoints; "
+                f"point --ckpt_dir at a fresh directory"
+            )
 
         new_params, new_ema = restore_params_only(
             resume_src, state.params, from_ema=args.finetune_from_ema

@@ -116,17 +116,19 @@ def make_optimizer(
 ) -> optax.GradientTransformation:
     """AdamW chain with frozen modules masked out: masked leaves carry no
     Adam moments (an unfrozen-by-accident VAE costs ~0.7 GB of fp32
-    moments at 7B scale) and receive no updates."""
-    return optax.chain(
-        optax.clip_by_global_norm(max_grad_norm),
-        optax.masked(
-            optax.chain(
-                optax.scale_by_adam(b1=beta1, b2=beta2, eps=eps),
-                optax.scale_by_learning_rate(lr_schedule),
-            ),
-            lambda params: trainable_mask(params, frozen),
-        ),
+    moments at 7B scale) and receive no updates. The masked wrapper is
+    applied only when something is actually frozen — wrapping always would
+    change the opt_state pytree structure and break full-state restore of
+    checkpoints saved by unfrozen runs."""
+    inner = optax.chain(
+        optax.scale_by_adam(b1=beta1, b2=beta2, eps=eps),
+        optax.scale_by_learning_rate(lr_schedule),
     )
+    if frozen:
+        inner = optax.masked(
+            inner, lambda params: trainable_mask(params, frozen)
+        )
+    return optax.chain(optax.clip_by_global_norm(max_grad_norm), inner)
 
 
 def init_train_state(

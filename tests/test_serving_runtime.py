@@ -228,3 +228,22 @@ def test_runtime_sharded_mesh_speculative(engine):
             rt.stop()
     for p, g in zip(prompts, got):
         assert g == _sequential(engine, None, p, 6), (p, g)
+
+
+def test_exclusive_jobs_inherit_runtime_speculative(engine):
+    # think/understanding jobs ride the exclusive queue; they must pick up
+    # the runtime's speculative K (a request-pinned value wins)
+    rt = ServingRuntime(engine, slots=2, speculative=5)
+    seen = []
+
+    def recorder(**kw):
+        seen.append(kw)
+        return {"text": "ok"}
+
+    rt.engine = recorder
+    rt.submit_generate("q", understanding_output=True)
+    rt.submit_generate("q", understanding_output=True, speculative=0)
+    rt._run_one_gen()
+    rt._run_one_gen()
+    assert seen[0]["speculative"] == 5
+    assert seen[1]["speculative"] == 0

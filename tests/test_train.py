@@ -232,3 +232,42 @@ def test_optimizer_offload_memory_kind_and_parity(setup):
         lambda a, b: float(jnp.abs(a - b).max()), s_dev.params, s_off.params
     )
     assert max(jax.tree.leaves(diffs)) < 1e-6
+
+
+def test_optimizer_state_structure_unchanged_without_freezing(setup):
+    # no frozen modules -> no optax.masked wrapper: the opt_state pytree
+    # must keep the plain (clip, (adam, lr)) structure so full-state
+    # restores of checkpoints from unfrozen runs keep working
+    cfg, params, _ = setup
+    tx_plain = make_optimizer(make_lr_schedule(1e-3, warmup_steps=1))
+    st = tx_plain.init(params)
+    names = [type(x).__name__ for x in jax.tree.leaves(
+        st, is_leaf=lambda x: hasattr(x, "_fields"))]
+    assert not any("Masked" in type(x).__name__
+                   for x in jax.tree_util.tree_flatten_with_path(st)[0]), names
+    flat = str(jax.tree_util.tree_structure(st))
+    assert "Masked" not in flat, flat
+    tx_frozen = make_optimizer(make_lr_schedule(1e-3, warmup_steps=1),
+                               frozen=("vae",))
+    assert "Masked" in str(jax.tree_util.tree_structure(tx_frozen.init(params)))
+
+
+def test_model_only_resume_refuses_populated_ckpt_dir(tmp_path, setup):
+    # --resume_model_only resets the step counter; saving into a ckpt_dir
+    # that already has committed steps would silently keep the stale state
+    import pytest
+
+    from bagel_tpu.train.checkpoint import save_checkpoint
+    from bagel_tpu.train.driver import main as driver_main
+
+    cfg, params, _ = setup
+    tx = make_optimizer(make_lr_schedule(1e-3, warmup_steps=1))
+    state = init_train_state(params, tx, use_ema=False)
+    src = save_checkpoint(str(tmp_path / "old"), 7, state, cfg=cfg,
+                          block=True)
+    with pytest.raises(ValueError, match="fresh directory"):
+        driver_main([
+            "--preset", "micro", "--mock_tokenizer", "--total_steps", "1",
+            "--ckpt_dir", str(tmp_path / "old"),
+            "--resume_from", src, "--resume_model_only",
+        ])
