@@ -597,27 +597,31 @@ class ServingRuntime:
         except Exception as e:
             req.future.set_error(e)
 
-    def _loop(self):
-        while not self._stop.is_set():
-            self._admit()
-            busy = any(s is not None for s in self.slot_state)
-            if busy:
-                try:
-                    self._decode_step()
-                except Exception as e:
-                    # fail the affected sessions, keep the scheduler alive —
-                    # a hung daemon thread would strand every future forever.
-                    # The decode chunk donates the cache, so the old buffers
-                    # may be gone: rebuild instead of touching them.
-                    self._recover_cache(e)
-            # fair interleave: at most one gen job between decode chunks
-            if not self.gen_q.empty():
-                self._run_one_gen()
-                busy = True
-            if not busy and self.chat_q.empty():
-                self._wake.wait(timeout=0.05)
-                self._wake.clear()
-        # drain: fail whatever is still queued so clients don't hang
+    def _tick(self) -> bool:
+        """One scheduler iteration: admit, decode one chunk, run at most one
+        gen job. Returns whether any device work happened. Deterministic
+        given (queue contents at entry, device outputs) — the property the
+        multi-host frontend (serving/multihost.py) relies on to replay the
+        identical tick sequence on every process."""
+        self._admit()
+        busy = any(s is not None for s in self.slot_state)
+        if busy:
+            try:
+                self._decode_step()
+            except Exception as e:
+                # fail the affected sessions, keep the scheduler alive —
+                # a hung daemon thread would strand every future forever.
+                # The decode chunk donates the cache, so the old buffers
+                # may be gone: rebuild instead of touching them.
+                self._recover_cache(e)
+        # fair interleave: at most one gen job between decode chunks
+        if not self.gen_q.empty():
+            self._run_one_gen()
+            busy = True
+        return busy
+
+    def _drain(self):
+        """Fail every queued/live request so clients don't hang on stop."""
         err = RuntimeError("runtime stopped")
         for i, s in enumerate(self.slot_state):
             if s is not None and not s.req.future.done():
@@ -629,3 +633,11 @@ class ServingRuntime:
                     q.get_nowait().future.set_error(err)
                 except queue.Empty:
                     break
+
+    def _loop(self):
+        while not self._stop.is_set():
+            busy = self._tick()
+            if not busy and self.chat_q.empty():
+                self._wake.wait(timeout=0.05)
+                self._wake.clear()
+        self._drain()

@@ -311,10 +311,28 @@ def main(argv: Optional[list] = None):
 
     engine, vae_tf, vit_tf = build_engine(args)
     mesh = getattr(engine, "mesh", None)
-    rt = ServingRuntime(engine, slots=own.slots,
-                        decode_chunk=own.decode_chunk, mesh=mesh,
-                        speculative=own.speculative, ngram=own.ngram)
-    rt.start()
+    import jax
+
+    if jax.process_count() > 1:
+        # pod deployment: every process runs this same program; process 0
+        # additionally accepts HTTP traffic and broadcasts the ingress to
+        # the followers before each scheduler tick (serving/multihost.py)
+        from bagel_tpu.serving.multihost import serve_multihost
+
+        rt = serve_multihost(engine, slots=own.slots,
+                             decode_chunk=own.decode_chunk, mesh=mesh,
+                             speculative=own.speculative, ngram=own.ngram)
+        rt.start()
+        if not rt.leader:
+            print(f"bagel_tpu follower (process {jax.process_index()}) "
+                  "ticking until the leader stops")
+            rt.join()
+            return
+    else:
+        rt = ServingRuntime(engine, slots=own.slots,
+                            decode_chunk=own.decode_chunk, mesh=mesh,
+                            speculative=own.speculative, ngram=own.ngram)
+        rt.start()
     server = BagelServer(rt, vae_tf, vit_tf)
     httpd = serve(server, own.host, args.port)
     print(f"bagel_tpu serving on http://{own.host}:{args.port} "

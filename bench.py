@@ -42,7 +42,7 @@ FULL_DEPTH = 28  # BAGEL-7B-MoT decoder depth
 # the local XLA compile cache nor any server-side cache avoids it), so the
 # main attempts share ONE child process and the parent parses partial
 # stdout if it must kill the child at the deadline.
-BUDGET_S = float(os.environ.get("BAGEL_BENCH_BUDGET_S", "1800"))
+BUDGET_S = float(os.environ.get("BAGEL_BENCH_BUDGET_S", "1500"))
 JAX_CACHE_DIR = os.environ.get(
     "BAGEL_JAX_CACHE", os.path.join(os.path.dirname(__file__), ".jax_cache")
 )
