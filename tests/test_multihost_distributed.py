@@ -70,18 +70,26 @@ print(f"RANK{pid}_OK chat_done={fe.stats['chat_done']}", flush=True)
     reason="distributed smoke disabled",
 )
 def test_two_process_jaxhostbus(tmp_path):
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     script = tmp_path / "worker.py"
     script.write_text(_WORKER)
-    with socket.socket() as s:
-        s.bind(("127.0.0.1", 0))
-        port = s.getsockname()[1]
+    # Keep the socket bound (SO_REUSEADDR) until just before launch to
+    # shrink the claim-before-coordinator-binds race window.
+    sock = socket.socket()
+    sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    sock.bind(("127.0.0.1", 0))
+    port = sock.getsockname()[1]
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)
+    # worker.py lives in tmp_path, so the script dir — not cwd — lands on
+    # sys.path; the package import needs the repo root on PYTHONPATH.
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+    sock.close()
     procs = [
         subprocess.Popen(
             [sys.executable, str(script), str(port), str(pid)],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
-            env=env, cwd="/root/repo",
+            env=env, cwd=repo_root,
         )
         for pid in range(2)
     ]
