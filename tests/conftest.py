@@ -39,6 +39,8 @@ _QUICK_FILES = {
     "test_serving_runtime.py",
     "test_chat_batch.py",
     "test_kv_quant.py",
+    # headline-dtype fidelity gate (w8a8 / int8 KV end-to-end)
+    "test_fidelity_w8a8.py",
 }
 
 

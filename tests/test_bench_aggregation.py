@@ -51,15 +51,21 @@ def test_headline_prefers_measured_quant_when_faster(monkeypatch, capsys):
             ("denoise", 28, "int8"): {"elapsed": 33.3},
             ("decode", 8, "bf16"): {"decode": 142.9},
             ("decode", 4, "bf16"): {"decode": 235.8},
-            # depth-8 train child OOMs (no result) -> depth-4 fallback
-            ("train", 4, "bf16"): {"train_s": 0.795, "train_tokens": 4352},
+            # main child's train phases budget-skipped -> fallback child
+            ("train", 4, "bf16"): {"train_points": [
+                {"depth": 4, "variant": "full_grad", "step_s": 0.795,
+                 "tokens": 4352},
+            ]},
         },
     )
     srv = res["detail"]["serving_runtime_aggregate_decode"]
     assert srv["slots"] == 8 and srv["aggregate_tok_per_s"] == 410.2
     tr = res["detail"]["train_fwd_bwd"]
-    assert tr["depth"] == 4 and tr["step_s"] == 0.795
-    assert tr["tokens_per_s"] == round(4352 / 0.795, 1)
+    assert tr["points"][0]["depth"] == 4
+    assert tr["points"][0]["step_s"] == 0.795
+    assert tr["points"][0]["tokens_per_s"] == round(4352 / 0.795, 1)
+    # one full-grad point -> no affine extrapolation block
+    assert "full_depth_extrapolated" not in tr
     # bf16 extrapolated = 1/(9.71*28/8) = 0.0294 < measured w8a8 1/27.38
     assert res["value"] == round(1.0 / 27.38, 5)
     assert "w8a8 full-depth measured" in res["detail"]["headline_basis"]
@@ -129,6 +135,77 @@ def test_bf16_failed_but_quant_measured_is_headline(monkeypatch, capsys):
     assert res["value"] == round(1.0 / 27.38, 5)
     assert "w8a8 full-depth measured" in res["detail"]["headline_basis"]
     assert "bf16_extrapolated_img_per_s" not in res["detail"]
+
+
+def test_r4_contract_runs_fidelity_train_floor(monkeypatch, capsys):
+    """Round-4 bench contract: multi-run headline stats, fidelity gate
+    passthrough, multi-point train block with affine full-depth fit +
+    analytic MFU, dispatch-floor caveat on the serving aggregate."""
+    fid = {
+        "denoise": {"latent_mae": 0.004, "mae_gate_1e-2": True},
+        "decode": {"w8a8_teacher_forced_agreement": 0.991},
+    }
+    tps = [
+        {"depth": 2, "variant": "full_grad", "step_s": 0.55, "tokens": 4352},
+        {"depth": 4, "variant": "full_grad", "step_s": 0.80, "tokens": 4352},
+        {"depth": 8, "variant": "freeze_und", "step_s": 1.10,
+         "tokens": 4352},
+    ]
+    res = run_main_with_fake_spawn(
+        monkeypatch, capsys,
+        {
+            ("main", 28, "w8a8"): {
+                "elapsed": 17.0, "elapsed_runs": [17.5, 17.0, 16.8],
+                "detail": {"full_forwards_on": 11, "full_forwards_off": 20,
+                           "steps_cfg_on": 29, "steps_cfg_off": 21},
+                "decode": 95.4, "fidelity": fid, "train_points": tps,
+                "dispatch_floor_ms": 30.0,
+                "serve_tok_s": 410.2, "serve_tokens": 1024,
+                "serve_elapsed": 2.5, "serve_slots": 8,
+            },
+        },
+    )
+    d = res["detail"]
+    assert d["runs"] == 3 and d["median_s"] == 17.0
+    assert d["spread_s"] == pytest.approx(0.7, abs=1e-6)
+    assert res["value"] == round(1 / 17.0, 5)  # headline = median
+    assert d["fidelity"] == fid
+    assert d["dispatch_floor_ms"] == 30.0
+    # mfu block: both denominators present, measured >= datasheet ratio
+    mfu = d["mfu"]
+    assert 0 < mfu["mfu_datasheet"] < mfu["mfu_measured_peak"] <= 1.5
+    # train: affine fit over full-grad depths 2,4 -> t(28)
+    b = (0.80 - 0.55) / 2
+    t28 = (0.55 - 2 * b) + 28 * b
+    tr = d["train_fwd_bwd"]
+    assert tr["full_depth_extrapolated"]["step_s"] == round(t28, 3)
+    assert tr["full_depth_extrapolated"]["steps_per_s"] == round(1 / t28, 4)
+    assert 0 < tr["full_depth_extrapolated"]["analytic_mfu_bf16"] < 1
+    assert len(tr["points"]) == 3
+    # serving caveat quantified
+    srv = d["serving_runtime_aggregate_decode"]
+    assert srv["dispatch_floor_share_est"] == round(
+        min(1024 / 8 * 30.0 / 1000.0 / 2.5, 1.0), 2
+    )
+    assert "dispatch floor" in srv["dispatch_floor_note"]
+
+
+def test_parser_multi_run_and_new_lines():
+    parsed = bench._parse_child_stdout(
+        "FLOOR 31.5\n"
+        "ELAPSED 17.5 17.0 16.8\n"
+        'DETAIL {"steps_cfg_on": 29}\n'
+        'FIDELITY {"denoise": {"latent_mae": 0.004}}\n'
+        'TRAINPT {"depth": 2, "variant": "full_grad", "step_s": 0.55, '
+        '"tokens": 4352}\n'
+        'TRAINPT {"depth": 8, "variant": "freeze_und", "step_s": 1.1, '
+        '"tokens": 4352}\n'
+    )
+    assert parsed["elapsed"] == 17.0  # median of runs
+    assert parsed["elapsed_runs"] == [17.5, 17.0, 16.8]
+    assert parsed["dispatch_floor_ms"] == 31.5
+    assert parsed["fidelity"]["denoise"]["latent_mae"] == 0.004
+    assert [p["depth"] for p in parsed["train_points"]] == [2, 8]
 
 
 def test_specdec_detail_and_parser(monkeypatch, capsys):
