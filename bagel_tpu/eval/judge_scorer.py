@@ -97,9 +97,104 @@ def score_imgedit(args, judge):
     )
 
 
+def score_wise(args, judge):
+    """WISE over a gen_runner output directory: judge every sample image
+    with the WiScore protocol prompt, then the published category/overall
+    table (wise/gpt_eval_mp.py + cal_score.py, one command)."""
+    from bagel_tpu.eval.gen_scorer import iter_layout
+    from bagel_tpu.eval.scorers.judge import (
+        build_wise_prompt, extract_wise_scores, run_judge, wise_summarize,
+    )
+
+    items = []
+    for image_path, meta in iter_layout(args.results_dir):
+        items.append({
+            "id": meta.get("index", len(items)),
+            "images": [image_path],
+            "prompt": meta.get("prompt", meta.get("Prompt", "")),
+            "explanation": meta.get("explanation", meta.get("Explanation", "")),
+            "meta": {"category": meta.get("category",
+                                          meta.get("Subcategory", "all"))},
+        })
+    records = run_judge(
+        items,
+        build_prompt=lambda it: build_wise_prompt(it["prompt"],
+                                                  it["explanation"]),
+        judge=judge,
+        extract=extract_wise_scores,
+        out_path=f"{args.out}.records.jsonl" if args.out else None,
+    )
+    return wise_summarize(records)
+
+
+def score_gedit(args, judge):
+    """GEdit over a gen_runner edit-run output directory: the two-call
+    VIEScore TIE protocol per sample (SC over [source, edited], PQ over
+    [edited]), then the published group table (test_gedit_score.py +
+    calculate_statistics.py, one command). Source images resolve through
+    --origin_root + the metadata row's 'image' field (the same root the
+    gen run used)."""
+    from bagel_tpu.eval.gen_scorer import iter_layout
+    from bagel_tpu.eval.scorers.judge import (
+        JUDGE_FAILURE, gedit_summarize, vie_evaluate_tie,
+    )
+
+    items = []
+    for image_path, meta in iter_layout(args.results_dir):
+        items.append({
+            "id": meta.get("index", len(items)),
+            "edited": image_path,
+            "source": os.path.join(args.origin_root or "", meta["image"]),
+            "instruction": meta.get("prompt", ""),
+            "meta": {
+                "group": meta.get("group", meta.get("task_type", "all")),
+                "intersection_exist": meta.get("intersection_exist", False),
+                "instruction_language": meta.get("instruction_language", ""),
+            },
+        })
+
+    # two judge calls per sample -> a dedicated resumable loop (run_judge
+    # is single-call; same record/out_path shape)
+    out_path = f"{args.out}.records.jsonl" if args.out else None
+    done, records = set(), []
+    if out_path and os.path.exists(out_path):
+        with open(out_path) as f:
+            for line in f:
+                rec = json.loads(line)
+                done.add(rec["id"])
+                records.append(rec)
+    fout = open(out_path, "a") if out_path else None
+    try:
+        for item in items:
+            if item["id"] in done:
+                continue
+            try:
+                sc, pq = vie_evaluate_tie(judge, item["source"],
+                                          item["edited"],
+                                          item["instruction"])
+                rec = {"id": item["id"], **item["meta"],
+                       "semantics_score": sc, "quality_score": pq}
+            except Exception:
+                rec = {"id": item["id"], **item["meta"],
+                       "semantics_score": JUDGE_FAILURE,
+                       "quality_score": JUDGE_FAILURE,
+                       "judge_failed": True}
+            records.append(rec)
+            if fout:
+                fout.write(json.dumps(rec) + "\n")
+                fout.flush()
+    finally:
+        if fout:
+            fout.close()
+    # sentinel rows poison their group average like the reference's
+    # failed-judgment skip; keep them visible in the table input
+    return gedit_summarize(records)
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser("bagel_tpu judge scorer")
-    ap.add_argument("benchmark", choices=["kris", "rise", "imgedit"])
+    ap.add_argument("benchmark",
+                    choices=["kris", "rise", "imgedit", "wise", "gedit"])
     ap.add_argument("--judge", required=True,
                     help="pkg.module:function -> (prompt, [paths]) -> str")
     ap.add_argument("--results_dir", required=True)
@@ -117,8 +212,9 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     judge = load_callable(args.judge)
-    out = {"kris": score_kris, "rise": score_rise,
-           "imgedit": score_imgedit}[args.benchmark](args, judge)
+    out = {"kris": score_kris, "rise": score_rise, "imgedit": score_imgedit,
+           "wise": score_wise, "gedit": score_gedit}[args.benchmark](
+        args, judge)
     print(json.dumps(out, indent=2, default=float))
     if args.out:
         with open(f"{args.out}.summary.json", "w") as f:

@@ -33,6 +33,120 @@ _WISE_PATTERN = re.compile(
 )
 
 
+def build_wise_prompt(prompt: str, explanation: str = "") -> str:
+    """WISE judge instruction (the published WiScore protocol: three 0-2
+    rubrics + a strict three-line output the `_WISE_PATTERN` extractor
+    parses; semantics of gpt_eval_mp.py:73-141, restated)."""
+    return f"""You are a strict quality auditor for text-to-image generation.
+Evaluate the attached image against the PROMPT (and its EXPLANATION) on
+three 0-2 rubrics. Be ruthless: a 2 is reserved for flawless results.
+
+Consistency (0-2): how accurately and completely the image realizes the
+PROMPT. 0 = misses or contradicts key elements; 1 = partial/inaccurate
+coverage; 2 = every element and nuance is perfectly represented.
+Realism (0-2): 0 = physically implausible, clearly artificial; 1 = minor
+unrealistic flaws; 2 = indistinguishable from a real photograph.
+Aesthetic Quality (0-2): 0 = poor composition, no artistic merit; 1 =
+basic appeal without distinction; 2 = exceptional, masterpiece-level.
+
+Return ONLY three lines, no other text:
+Consistency: <0-2>
+Realism: <0-2>
+Aesthetic Quality: <0-2>
+
+PROMPT: "{prompt}"
+EXPLANATION: "{explanation}"
+"""
+
+
+# -- VIEScore (GEdit TIE task) ------------------------------------------------
+
+_VIE_CONTEXT = (
+    "You are a professional digital artist evaluating AI-generated "
+    "image(s) according to the rules below. Respond with a JSON object "
+    'of the form {"score": [..], "reasoning": ".."}. Scores are integers '
+    "0-10."
+)
+
+
+def build_vie_sc_tie_prompt(instruction: str) -> str:
+    """Semantic-consistency judge prompt for an edit pair (VIEScore tie
+    task, vie_prompts.py _prompts_0shot_two_image_edit_rule +
+    _prompts_0shot_tie_rule_SC semantics): two images (original, edited),
+    two 0-10 scores — editing success and (lack of) overediting."""
+    return f"""{_VIE_CONTEXT}
+
+RULES: Two images are provided — the first is the original AI-generated
+image, the second an edited version of it. Evaluate how successfully the
+editing instruction was executed in the second image (they may look
+identical if the edit failed).
+
+Give two scores on a 0-10 scale:
+- score1 (editing success): 0 = the edited image does not follow the
+  instruction at all; 10 = it follows the instruction perfectly.
+- score2 (overediting): 0 = the edited image is completely different from
+  the original; 10 = a minimal yet effective edit of the original.
+
+Output score = [score1, score2].
+
+Editing instruction: {instruction}
+"""
+
+
+def build_vie_pq_prompt() -> str:
+    """Perceptual-quality judge prompt (vie_prompts.py
+    _prompts_0shot_rule_PQ semantics): edited image only, two 0-10 scores
+    — naturalness and freedom from artifacts."""
+    return f"""{_VIE_CONTEXT}
+
+RULES: The image is AI-generated. Evaluate how successfully it was
+generated, with two scores on a 0-10 scale:
+- score1 (naturalness): 0 = unnatural scene (wrong distances, shadows,
+  lighting); 10 = the image looks natural.
+- score2 (artifacts): 0 = large portions of distortion, watermarks,
+  scratches, blurred faces or unusual body parts; 10 = no artifacts.
+
+Output score = [naturalness, artifacts].
+"""
+
+
+def parse_vie_scores(text: str) -> List[float]:
+    """Extract the VIEScore score list from a judge reply: JSON object with
+    a 'score' field first, then a bare list, then a bare 0-10 integer
+    (utils.py mllm_output_to_dict fallback chain). Raises ValueError when
+    nothing parses (run_judge retries, then sentinels)."""
+    s, e = text.find("{"), text.rfind("}") + 1
+    if s != -1 and e:
+        try:
+            obj = json.loads(text[s:e])
+            scores = obj["score"]
+            return [float(x) for x in (scores if isinstance(scores, list)
+                                       else [scores])]
+        except (json.JSONDecodeError, KeyError, TypeError, ValueError):
+            pass
+    s, e = text.find("["), text.rfind("]") + 1
+    if s != -1 and e:
+        try:
+            return [float(x) for x in json.loads(text[s:e])]
+        except (json.JSONDecodeError, TypeError, ValueError):
+            pass
+    stripped = text.strip()
+    if stripped.isdigit() and 0 <= int(stripped) <= 10:
+        return [float(stripped)]
+    raise ValueError(f"unparseable VIE judge output: {text[:80]!r}")
+
+
+def vie_evaluate_tie(judge, source_path: str, edited_path: str,
+                     instruction: str):
+    """One GEdit sample through the two-call VIEScore protocol
+    (viescore/__init__.py:37-85): SC over [source, edited], PQ over
+    [edited]; per-sample scores are the MIN over each list."""
+    sc = parse_vie_scores(judge(build_vie_sc_tie_prompt(instruction),
+                                [source_path, edited_path]))
+    pq = parse_vie_scores(judge(build_vie_pq_prompt(), [edited_path]))
+    return min(sc), min(pq)
+
+
 def extract_wise_scores(evaluation_text: str) -> Dict[str, float]:
     """Parse the three 0-2 scores; missing ones keep the failure sentinel
     (gpt_eval_mp.py:44-59)."""
