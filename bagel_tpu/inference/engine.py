@@ -137,24 +137,41 @@ def _prefill_vae(params, cfg: BagelConfig, cache, boundary_ids, latents,
     )
 
 
-def _make_flow_v(params, cfg: BagelConfig, n: int, b: int, boundary_ids,
-                 branch_rope, cache: KVCache, lat_pos):
-    """Closure computing per-branch velocities [B, N, pd] for one step."""
+def _make_flow_v(params, cfg: BagelConfig, n: int, n_jobs: int, nb: int,
+                 boundary_ids, branch_rope, cache: KVCache, lat_pos):
+    """Closure computing per-branch velocities for one step.
+
+    x_t carries a job dimension [J, N, pd] (J independent images denoised
+    together — beyond-reference: the reference's generate_image handles one
+    image per call, bagel.py:579-746). Each job expands into its nb CFG
+    branches (jobs-major, branch-minor: cache batch = J*nb), every branch of
+    a job sharing that job's latent block; returns [J*nb, N, pd]."""
+    b = n_jobs * nb
     tb = -(-(n + 2) // 256) * 256 if jax.default_backend() == "tpu" else n + 2
     pad = tb - (n + 2)
     tok_emb = qwen2.embed_tokens(params["llm"], boundary_ids)  # [2, d]
     pos = jnp.broadcast_to(branch_rope[:, None], (b, tb))
     valid = jnp.full((b,), n + 2, jnp.int32)
 
-    def flow_v(x_t, t):
+    def flow_v(x_t, t):  # x_t: [J, N, pd]
         t_vec = jnp.full((n,), t, jnp.float32)
-        lat_emb = latent_to_llm(params, cfg, x_t, t_vec, lat_pos)
-        block = jnp.concatenate([tok_emb, lat_emb.astype(tok_emb.dtype)], 0)
+        lat_emb = jax.vmap(
+            lambda x: latent_to_llm(params, cfg, x, t_vec, lat_pos)
+        )(x_t)  # [J, N, d]
+        d = lat_emb.shape[-1]
+        block = jnp.concatenate(
+            [
+                jnp.broadcast_to(tok_emb[None], (n_jobs, 2, d)),
+                lat_emb.astype(tok_emb.dtype),
+            ],
+            axis=1,
+        )
         if pad:
             block = jnp.concatenate(
-                [block, jnp.zeros((pad, block.shape[1]), block.dtype)], 0
+                [block, jnp.zeros((n_jobs, pad, d), block.dtype)], axis=1
             )
-        block = jnp.broadcast_to(block[None], (b,) + block.shape)
+        if nb > 1:  # branch expansion: job j's block at rows [j*nb, (j+1)*nb)
+            block = jnp.repeat(block, nb, axis=0)
         hidden, _ = qwen2.llm_extend(
             params["llm"], cfg.llm, block, pos, cache, valid,
             und_len=2, causal=False, update_cache=False,
@@ -167,50 +184,55 @@ def _make_flow_v(params, cfg: BagelConfig, n: int, b: int, boundary_ids,
     return flow_v
 
 
-def _combine(v, b, cfg_text_scale, cfg_img_scale, cfg_renorm_type,
+def _combine(v, n_jobs, nb, cfg_text_scale, cfg_img_scale, cfg_renorm_type,
              cfg_renorm_min):
-    return cfg_combine(
-        v[0],
-        v[1] if b >= 2 else None,
-        v[2] if b >= 3 else None,
-        cfg_text_scale, cfg_img_scale, cfg_renorm_type, cfg_renorm_min,
-    )
+    """Per-job CFG combination: [J*nb, N, pd] -> [J, N, pd]."""
+    v = v.reshape((n_jobs, nb) + v.shape[1:])
+    return jax.vmap(
+        lambda vj: cfg_combine(
+            vj[0],
+            vj[1] if nb >= 2 else None,
+            vj[2] if nb >= 3 else None,
+            cfg_text_scale, cfg_img_scale, cfg_renorm_type, cfg_renorm_min,
+        )
+    )(v)
 
 
 @partial(
     jax.jit,
     static_argnames=(
-        "cfg", "n_branches", "cfg_text_scale", "cfg_img_scale",
+        "cfg", "n_jobs", "n_branches", "cfg_text_scale", "cfg_img_scale",
         "cfg_renorm_type", "cfg_renorm_min",
     ),
 )
 def _denoise_phase(
     params,
     cfg: BagelConfig,
-    x_t,  # [N, pd]
-    k_buf, v_buf, lengths,  # stacked caches [L, B, S, KH, D], [B]
-    branch_rope,  # [B] rope position per branch
+    x_t,  # [J, N, pd]
+    k_buf, v_buf, lengths,  # stacked caches [L, J*nb, S, KH, D], [J*nb]
+    branch_rope,  # [J*nb] rope position per branch (jobs-major)
     lat_pos,  # [N]
     boundary_ids,  # [2]
     timesteps,  # [K]
     dts,  # [K]
+    n_jobs: int,
     n_branches: int,
     cfg_text_scale: float,
     cfg_img_scale: float,
     cfg_renorm_type: str,
     cfg_renorm_min: float,
 ):
-    """K denoise steps with n_branches CFG forwards batched together."""
-    n = x_t.shape[0]
-    b = n_branches
+    """K denoise steps: n_jobs images x n_branches CFG forwards batched."""
+    n = x_t.shape[1]
+    nb = n_branches
     cache = KVCache(k=k_buf, v=v_buf, length=lengths)
-    flow_v = _make_flow_v(params, cfg, n, b, boundary_ids, branch_rope,
-                          cache, lat_pos)
+    flow_v = _make_flow_v(params, cfg, n, n_jobs, nb, boundary_ids,
+                          branch_rope, cache, lat_pos)
 
     def step(x_t, tdt):
         t, dt = tdt
         v = flow_v(x_t, t)
-        v_t = _combine(v, b, cfg_text_scale, cfg_img_scale,
+        v_t = _combine(v, n_jobs, nb, cfg_text_scale, cfg_img_scale,
                        cfg_renorm_type, cfg_renorm_min)
         return x_t - v_t * dt, None
 
@@ -224,14 +246,14 @@ TAYLORSEER_MAX_ORDER = 2
 @partial(
     jax.jit,
     static_argnames=(
-        "cfg", "n_branches", "cfg_text_scale", "cfg_img_scale",
+        "cfg", "n_jobs", "n_branches", "cfg_text_scale", "cfg_img_scale",
         "cfg_renorm_type", "cfg_renorm_min",
     ),
 )
 def _denoise_phase_taylorseer(
     params,
     cfg: BagelConfig,
-    x_t,
+    x_t,  # [J, N, pd]
     k_buf, v_buf, lengths,
     branch_rope,
     lat_pos,
@@ -242,8 +264,9 @@ def _denoise_phase_taylorseer(
     x_off,  # [K] float
     delta,  # [K] float
     grow,  # [K] bool
-    factors0,  # [O+1, B, N, pd] carried Taylor factors
-    n_valid0,  # [B] per-branch valid factor count
+    factors0,  # [O+1, J*nb, N, pd] carried Taylor factors
+    n_valid0,  # [J*nb] per-branch valid factor count
+    n_jobs: int,
     n_branches: int,
     cfg_text_scale: float,
     cfg_img_scale: float,
@@ -258,11 +281,11 @@ def _denoise_phase_taylorseer(
     call (bagel.py:680-689), not per cfg_interval phase."""
     from bagel_tpu.inference.taylorseer import taylor_eval, taylor_update
 
-    n = x_t.shape[0]
-    b = n_branches
+    n = x_t.shape[1]
+    nb = n_branches
     cache = KVCache(k=k_buf, v=v_buf, length=lengths)
-    flow_v = _make_flow_v(params, cfg, n, b, boundary_ids, branch_rope,
-                          cache, lat_pos)
+    flow_v = _make_flow_v(params, cfg, n, n_jobs, nb, boundary_ids,
+                          branch_rope, cache, lat_pos)
 
     def step(carry, xs):
         x_t, factors, n_valid = carry
@@ -277,7 +300,7 @@ def _denoise_phase_taylorseer(
             return taylor_eval(factors, n_valid, xo), factors, n_valid
 
         v, factors, n_valid = jax.lax.cond(isf, full, taylor, None)
-        v_t = _combine(v, b, cfg_text_scale, cfg_img_scale,
+        v_t = _combine(v, n_jobs, nb, cfg_text_scale, cfg_img_scale,
                        cfg_renorm_type, cfg_renorm_min)
         return (x_t - v_t * dt, factors, n_valid), None
 
@@ -507,19 +530,69 @@ class BagelEngine:
         reference's packed_init_noises, bagel.py:579). return_latent: skip
         the VAE and return the final packed latent x_0 (fidelity-gate
         comparisons against generate_image's unpacked_latent)."""
+        return self.gen_image_batch(
+            image_shape,
+            [dict(ctx=ctx, cfg_text_precontext=cfg_text_precontext,
+                  cfg_img_precontext=cfg_img_precontext, rng=rng,
+                  init_noise=init_noise)],
+            cfg_text_scale=cfg_text_scale, cfg_img_scale=cfg_img_scale,
+            cfg_interval=cfg_interval, cfg_renorm_min=cfg_renorm_min,
+            cfg_renorm_type=cfg_renorm_type, num_timesteps=num_timesteps,
+            timestep_shift=timestep_shift,
+            enable_taylorseer=enable_taylorseer,
+            return_latent=return_latent,
+        )[0]
+
+    def gen_image_batch(
+        self,
+        image_shape: Tuple[int, int],
+        jobs: List[dict],
+        cfg_text_scale: float = 4.0,
+        cfg_img_scale: float = 1.5,
+        cfg_interval: Tuple[float, float] = (0.4, 1.0),
+        cfg_renorm_min: float = 0.0,
+        cfg_renorm_type: str = "global",
+        num_timesteps: int = 50,
+        timestep_shift: float = 3.0,
+        enable_taylorseer: bool = False,
+        return_latent: bool = False,
+    ) -> List[np.ndarray]:
+        """Denoise J independent images in ONE batched scan.
+
+        Beyond-reference: the reference's generate_image handles one image
+        per call (bagel.py:579-746); here J jobs (each with its own prompt
+        contexts and init noise) share every LLM forward — the cache batch
+        is J * n_branches, amortizing weight reads across queued requests
+        (the win when a single image underutilizes the chip).
+
+        Each job is a dict with keys ctx (required), cfg_text_precontext,
+        cfg_img_precontext, rng, init_noise. All jobs must share
+        image_shape, the CFG scales/schedule, and branch structure (a job
+        either has a given precontext or all jobs lack it) — the serving
+        runtime groups compatible requests by exactly this key
+        (serving/runtime.py gen batching)."""
         cfg = self.cfg
         H, W = image_shape
         down = cfg.latent_downsample
         h, w = H // down, W // down
         n = h * w
         pd = cfg.patch_latent_dim
-        if rng is None:
-            rng = jax.random.PRNGKey(0)
-        if init_noise is not None:
-            x_t = jnp.asarray(init_noise, jnp.float32)
-            assert x_t.shape == (n, pd), (x_t.shape, (n, pd))
-        else:
-            x_t = jax.random.normal(rng, (n, pd), jnp.float32)
+        J = len(jobs)
+        assert J >= 1
+
+        xs = []
+        for j, job in enumerate(jobs):
+            init_noise = job.get("init_noise")
+            if init_noise is not None:
+                x = jnp.asarray(init_noise, jnp.float32)
+                assert x.shape == (n, pd), (x.shape, (n, pd))
+            else:
+                rng = job.get("rng")
+                if rng is None:
+                    rng = jax.random.PRNGKey(0)
+                x = jax.random.normal(rng, (n, pd), jnp.float32)
+            xs.append(x)
+        x_t = jnp.stack(xs, axis=0)  # [J, n, pd]
         lat_pos = jnp.asarray(np.asarray(self._pos_ids(H, W, down, cfg.max_latent_size)))
 
         ts, dts = shifted_timesteps(num_timesteps, timestep_shift)
@@ -531,20 +604,34 @@ class BagelEngine:
         # would clamp (and corrupt) an overflowing write. Block padding must
         # match _make_flow_v's backend-dependent bucketing.
         tb = -(-(n + 2) // 256) * 256 if jax.default_backend() == "tpu" else n + 2
-        assert ctx.kv_len + tb <= self.max_kv, (
-            f"KV buffer too small: kv_len={ctx.kv_len} + block={tb} > "
-            f"max_kv={self.max_kv}"
-        )
 
-        # assemble branches: order [cond, cfg_text, cfg_img]
-        branches = [ctx]
-        if cfg_text_scale > 1.0 and cfg_text_precontext is not None:
-            branches.append(cfg_text_precontext)
-        if cfg_img_scale > 1.0 and cfg_img_precontext is not None:
-            branches.append(cfg_img_precontext)
-        nb = len(branches)
+        # assemble branches per job: order [cond, cfg_text, cfg_img];
+        # branch structure must be uniform across jobs (batch-key contract)
+        use_text = cfg_text_scale > 1.0 and jobs[0].get("cfg_text_precontext") is not None
+        use_img = cfg_img_scale > 1.0 and jobs[0].get("cfg_img_precontext") is not None
+        branches: List[List[GenContext]] = []  # jobs-major, branch-minor
+        conds: List[List[GenContext]] = []
+        for job in jobs:
+            row = [job["ctx"]]
+            if use_text:
+                pre = job.get("cfg_text_precontext")
+                assert pre is not None, "non-uniform cfg_text branch structure"
+                row.append(pre)
+            if use_img:
+                pre = job.get("cfg_img_precontext")
+                assert pre is not None, "non-uniform cfg_img branch structure"
+                row.append(pre)
+            for c in row:
+                assert c.kv_len + tb <= self.max_kv, (
+                    f"KV buffer too small: kv_len={c.kv_len} + block={tb} > "
+                    f"max_kv={self.max_kv}"
+                )
+            branches.append(row)
+            conds.append([job["ctx"]])
+        nb = len(branches[0])
 
-        def stacked(ctxs):
+        def stacked(rows: List[List[GenContext]]):
+            ctxs = [c for row in rows for c in row]
             k = jnp.concatenate([c.cache.k for c in ctxs], axis=1)
             v = jnp.concatenate([c.cache.v for c in ctxs], axis=1)
             ln = jnp.concatenate([c.cache.length for c in ctxs], axis=0)
@@ -568,38 +655,43 @@ class BagelEngine:
             # num_timesteps - 1 actual forwards (bagel.py:693-696).
             sch = taylorseer_schedule(len(ts_np))
 
-        ts_carry = None  # (factors [O+1, b, n, pd], n_valid [b]) across phases
+        # (factors [O+1, J*nb_phase, n, pd], n_valid [J*nb_phase]) carry
+        ts_carry = None
 
-        def run(x_t, idxs, ctxs, text_s, img_s):
+        def run(x_t, idxs, rows, text_s, img_s):
             nonlocal ts_carry
             if len(idxs) == 0:
                 return x_t
-            k, v, ln, rope = stacked(ctxs)
-            b = len(ctxs)
+            k, v, ln, rope = stacked(rows)
+            b = len(rows[0])  # branches per job this phase
             common = dict(
-                n_branches=b,
+                n_jobs=J, n_branches=b,
                 cfg_text_scale=text_s, cfg_img_scale=img_s,
                 cfg_renorm_type=cfg_renorm_type, cfg_renorm_min=cfg_renorm_min,
             )
             if enable_taylorseer:
                 if ts_carry is None:
                     factors0 = jnp.zeros(
-                        (TAYLORSEER_MAX_ORDER + 1, b, n, pd), jnp.float32
+                        (TAYLORSEER_MAX_ORDER + 1, J * b, n, pd), jnp.float32
                     )
-                    n_valid0 = jnp.zeros((b,), jnp.int32)
+                    n_valid0 = jnp.zeros((J * b,), jnp.int32)
                 else:
                     f, nv = ts_carry
-                    bp = f.shape[1]
+                    bp = f.shape[1] // J  # branches per job last phase
+                    fj = f.reshape(f.shape[0], J, bp, n, pd)
+                    nvj = nv.reshape(J, bp)
                     if bp >= b:  # dropping CFG branches; branch 0 is cond
-                        factors0, n_valid0 = f[:, :b], nv[:b]
+                        fj, nvj = fj[:, :, :b], nvj[:, :b]
                     else:  # new CFG branches enter with empty caches
                         zpad = jnp.zeros(
-                            (f.shape[0], b - bp) + f.shape[2:], f.dtype
+                            (fj.shape[0], J, b - bp, n, pd), fj.dtype
                         )
-                        factors0 = jnp.concatenate([f, zpad], axis=1)
-                        n_valid0 = jnp.concatenate(
-                            [nv, jnp.zeros((b - bp,), nv.dtype)]
+                        fj = jnp.concatenate([fj, zpad], axis=2)
+                        nvj = jnp.concatenate(
+                            [nvj, jnp.zeros((J, b - bp), nvj.dtype)], axis=1
                         )
+                    factors0 = fj.reshape(fj.shape[0], J * b, n, pd)
+                    n_valid0 = nvj.reshape(J * b)
                 x_t, f, nv = _denoise_phase_taylorseer(
                     self.params, cfg, x_t, k, v, ln, rope, lat_pos, boundary,
                     ts[idxs], dts[idxs],
@@ -617,19 +709,22 @@ class BagelEngine:
 
         if len(idx_on) and len(idx_off) and idx_on.min() > idx_off.min():
             # cfg window starts later in the run
-            x_t = run(x_t, idx_off[idx_off < idx_on.min()], [ctx], 1.0, 1.0)
+            x_t = run(x_t, idx_off[idx_off < idx_on.min()], conds, 1.0, 1.0)
             x_t = run(x_t, idx_on, branches, cfg_text_scale, cfg_img_scale)
-            x_t = run(x_t, idx_off[idx_off > idx_on.max()], [ctx], 1.0, 1.0)
+            x_t = run(x_t, idx_off[idx_off > idx_on.max()], conds, 1.0, 1.0)
         else:
             x_t = run(x_t, idx_on, branches, cfg_text_scale, cfg_img_scale)
-            x_t = run(x_t, idx_off, [ctx], 1.0, 1.0)
+            x_t = run(x_t, idx_off, conds, 1.0, 1.0)
 
         if return_latent:
-            return np.asarray(x_t)
-        z = unpatchify_latent(x_t, h, w, cfg.latent_patch_size, cfg.latent_channel)
-        img = vae_decode(self.params["vae"], cfg.vae, z[None])[0]
-        img = np.asarray(jnp.clip(img * 0.5 + 0.5, 0, 1) * 255).astype(np.uint8)
-        return img
+            return [np.asarray(x) for x in np.asarray(x_t)]
+        z = jnp.stack([
+            unpatchify_latent(x, h, w, cfg.latent_patch_size, cfg.latent_channel)
+            for x in x_t
+        ])
+        imgs = vae_decode(self.params["vae"], cfg.vae, z)
+        imgs = np.asarray(jnp.clip(imgs * 0.5 + 0.5, 0, 1) * 255).astype(np.uint8)
+        return [imgs[j] for j in range(J)]
 
     # -- batched understanding (beyond-reference: the reference decodes
     # batch=1 only, bagel.py:996) --------------------------------------------
@@ -854,6 +949,78 @@ class BagelEngine:
             else:
                 out["text"] = item
         return out
+
+    def generate_batch(self, reqs: List[dict]) -> List[dict]:
+        """Run B text-only T2I requests through ONE batched denoise scan.
+
+        Each req is an `__call__` kwargs dict; all must share the same
+        gen_batch_key (the serving runtime groups by it). Context prefills
+        stay per-request (cheap: a few hundred text tokens), the 50-step
+        denoise — where all the FLOPs are — batches every request's CFG
+        branches into a single forward per step (gen_image_batch)."""
+        keys = {gen_batch_key(kw) for kw in reqs}
+        assert len(keys) == 1 and None not in keys, (
+            f"generate_batch needs one shared batchable key, got {keys}"
+        )
+        kw0 = {k: reqs[0].get(k, d)
+               for k, d in _BATCHABLE_GEN_DEFAULTS.items()}
+        jobs = []
+        for kw in reqs:
+            ctx = self.init_context()
+            cfg_text_ctx = ctx.copy()
+            ctx = self.update_context_text(kw["text"], ctx)
+            cfg_img_ctx = ctx.copy()
+            jobs.append(dict(
+                ctx=ctx, cfg_text_precontext=cfg_text_ctx,
+                cfg_img_precontext=cfg_img_ctx, rng=kw.get("rng"),
+            ))
+        imgs = self.gen_image_batch(
+            kw0["image_shapes"], jobs,
+            cfg_text_scale=kw0["cfg_text_scale"],
+            cfg_img_scale=kw0["cfg_img_scale"],
+            cfg_interval=kw0["cfg_interval"],
+            cfg_renorm_min=kw0["cfg_renorm_min"],
+            cfg_renorm_type=kw0["cfg_renorm_type"],
+            num_timesteps=kw0["num_timesteps"],
+            timestep_shift=kw0["timestep_shift"],
+            enable_taylorseer=kw0["enable_taylorseer"],
+        )
+        return [{"image": im, "text": None} for im in imgs]
+
+
+# defaults mirror interleave_inference's signature — the batch key must see
+# the same effective value whether the caller passed it explicitly or not
+_BATCHABLE_GEN_DEFAULTS = dict(
+    cfg_text_scale=3.0,
+    cfg_img_scale=1.5,
+    cfg_interval=(0.4, 1.0),
+    timestep_shift=3.0,
+    num_timesteps=50,
+    cfg_renorm_min=0.0,
+    cfg_renorm_type="global",
+    image_shapes=(1024, 1024),
+    enable_taylorseer=False,
+)
+
+
+def gen_batch_key(kwargs: dict) -> Optional[tuple]:
+    """Grouping key for batched T2I, or None if the request cannot join a
+    batched denoise (image input / think / understanding / unknown kwargs
+    that change per-request control flow)."""
+    if kwargs.get("image") is not None:
+        return None
+    if kwargs.get("think", False) or kwargs.get("understanding_output", False):
+        return None
+    if not kwargs.get("text"):
+        return None
+    allowed = {"text", "rng", "think", "understanding_output",
+               "speculative", *_BATCHABLE_GEN_DEFAULTS}
+    if set(kwargs) - allowed:
+        return None
+    return tuple(
+        (k, repr(kwargs.get(k, d)))
+        for k, d in sorted(_BATCHABLE_GEN_DEFAULTS.items())
+    )
 
 
 @partial(jax.jit, static_argnames=("cfg", "causal"),

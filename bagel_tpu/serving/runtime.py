@@ -33,6 +33,7 @@ Usage:
 
 from __future__ import annotations
 
+import collections
 import dataclasses
 import queue
 import threading
@@ -44,7 +45,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from bagel_tpu.inference.engine import _bucket, _extend_jit
+from bagel_tpu.inference.engine import _bucket, _extend_jit, gen_batch_key
 from bagel_tpu.models import qwen2
 from bagel_tpu.models.bagel import encode_vit_tokens
 from bagel_tpu.models.qwen2 import KVCache, kv_cache_init
@@ -149,6 +150,7 @@ class ServingRuntime:
         mesh=None,
         speculative: int = 0,
         ngram: int = 3,
+        gen_batch: int = 1,
     ):
         """mesh: optional jax.sharding.Mesh (dp, fsdp, tp). When given, the
         slot-batched KV cache is created sharded — slots over dp, KV heads
@@ -169,12 +171,19 @@ class ServingRuntime:
         # the lookup corpus; greedy-exact, so served text is unchanged
         self.speculative = speculative
         self.ngram = ngram
+        # gen_batch=B: up to B queued T2I jobs sharing one gen_batch_key
+        # (same shape/CFG schedule, no input image/think) run as ONE batched
+        # denoise scan (engine.generate_batch) instead of serially
+        self.gen_batch = gen_batch
         self.hist = np.zeros((slots, engine.max_kv), np.int32)
         self.hist_len = np.zeros(slots, np.int32)
         self.cache: KVCache = self._new_cache()
         self.slot_state: List[Optional[_Slot]] = [None] * slots
         self.chat_q: "queue.Queue[_ChatRequest]" = queue.Queue()
         self.gen_q: "queue.Queue[_GenRequest]" = queue.Queue()
+        # scheduler-private overflow of drained-but-unscheduled gen jobs
+        # (only the scheduler thread touches it)
+        self._gen_pending: "collections.deque[_GenRequest]" = collections.deque()
         self._stop = threading.Event()
         self._wake = threading.Event()
         self._thread: Optional[threading.Thread] = None
@@ -580,22 +589,48 @@ class ServingRuntime:
                 s.next_token = new[-1]
                 s.next_pos += self.decode_chunk
 
-    def _run_one_gen(self):
-        try:
-            req = self.gen_q.get_nowait()
-        except queue.Empty:
+    def _run_gen_jobs(self):
+        """Run the gen queue's head job — batched with up to gen_batch - 1
+        later jobs that share its gen_batch_key (one denoise scan for all
+        of them). Non-matching jobs keep their queue order in _gen_pending."""
+        while True:
+            try:
+                self._gen_pending.append(self.gen_q.get_nowait())
+            except queue.Empty:
+                break
+        if not self._gen_pending:
             return
+        head = self._gen_pending.popleft()
+        batch = [head]
+        if self.gen_batch > 1:
+            key = gen_batch_key(head.kwargs)
+            if key is not None:
+                kept = collections.deque()
+                for r in self._gen_pending:
+                    if (len(batch) < self.gen_batch
+                            and gen_batch_key(r.kwargs) == key):
+                        batch.append(r)
+                    else:
+                        kept.append(r)
+                self._gen_pending = kept
         try:
-            # exclusive jobs inherit the runtime's speculative setting for
-            # their text decodes (think / understanding) unless the request
-            # pinned its own
-            if self.speculative > 0:
-                req.kwargs.setdefault("speculative", self.speculative)
-            out = self.engine(**req.kwargs)
-            self.stats["gen_done"] += 1  # count before resolving (see above)
-            req.future.set_result(out)
+            if len(batch) == 1:
+                # exclusive jobs inherit the runtime's speculative setting
+                # for their text decodes (think / understanding) unless the
+                # request pinned its own
+                if self.speculative > 0:
+                    head.kwargs.setdefault("speculative", self.speculative)
+                outs = [self.engine(**head.kwargs)]
+            else:
+                outs = self.engine.generate_batch([r.kwargs for r in batch])
+            for r, out in zip(batch, outs):
+                self.stats["gen_done"] += 1  # count before resolving
+                r.future.set_result(out)
         except Exception as e:
-            req.future.set_error(e)
+            # one shared scan: a failure is indivisible across the batch
+            for r in batch:
+                if not r.future.done():
+                    r.future.set_error(e)
 
     def _tick(self) -> bool:
         """One scheduler iteration: admit, decode one chunk, run at most one
@@ -614,9 +649,10 @@ class ServingRuntime:
                 # The decode chunk donates the cache, so the old buffers
                 # may be gone: rebuild instead of touching them.
                 self._recover_cache(e)
-        # fair interleave: at most one gen job between decode chunks
-        if not self.gen_q.empty():
-            self._run_one_gen()
+        # fair interleave: at most one gen run (a batched scan counts as
+        # one) between decode chunks
+        if self._gen_pending or not self.gen_q.empty():
+            self._run_gen_jobs()
             busy = True
         return busy
 
@@ -627,6 +663,8 @@ class ServingRuntime:
             if s is not None and not s.req.future.done():
                 s.req.future.set_error(err)
                 self.slot_state[i] = None
+        while self._gen_pending:
+            self._gen_pending.popleft().future.set_error(err)
         for q in (self.chat_q, self.gen_q):
             while True:
                 try:
@@ -637,7 +675,7 @@ class ServingRuntime:
     def _loop(self):
         while not self._stop.is_set():
             busy = self._tick()
-            if not busy and self.chat_q.empty():
+            if not busy and self.chat_q.empty() and not self._gen_pending:
                 self._wake.wait(timeout=0.05)
                 self._wake.clear()
         self._drain()

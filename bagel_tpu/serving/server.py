@@ -306,6 +306,10 @@ def main(argv: Optional[list] = None):
                     help="K>0: prompt-lookup speculative decode per chunk "
                          "(greedy-exact; big wins on context-echoing chats)")
     ap.add_argument("--ngram", type=int, default=3)
+    ap.add_argument("--gen_batch", type=int, default=4,
+                    help="N>1: queued T2I jobs sharing shape/CFG params run "
+                         "as one batched denoise scan (amortizes weight "
+                         "reads across requests)")
     own, rest = ap.parse_known_args(argv)
     args = parse_args(rest)
 
@@ -321,7 +325,8 @@ def main(argv: Optional[list] = None):
 
         rt = serve_multihost(engine, slots=own.slots,
                              decode_chunk=own.decode_chunk, mesh=mesh,
-                             speculative=own.speculative, ngram=own.ngram)
+                             speculative=own.speculative, ngram=own.ngram,
+                             gen_batch=own.gen_batch)
         rt.start()
         if not rt.leader:
             print(f"bagel_tpu follower (process {jax.process_index()}) "
@@ -331,7 +336,8 @@ def main(argv: Optional[list] = None):
     else:
         rt = ServingRuntime(engine, slots=own.slots,
                             decode_chunk=own.decode_chunk, mesh=mesh,
-                            speculative=own.speculative, ngram=own.ngram)
+                            speculative=own.speculative, ngram=own.ngram,
+                            gen_batch=own.gen_batch)
         rt.start()
     server = BagelServer(rt, vae_tf, vit_tf)
     httpd = serve(server, own.host, args.port)

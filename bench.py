@@ -365,12 +365,13 @@ def _production_run_fn(cfg, cache, x0, lat_pos, boundary, rope, steps):
             ts[idxs], dts[idxs],
             jnp.asarray(sch.is_full[idxs]), jnp.asarray(sch.x_off[idxs]),
             jnp.asarray(sch.delta[idxs]), jnp.asarray(sch.grow[idxs]),
-            f0, nv0, n_branches=b, **common,
+            f0, nv0, n_jobs=1, n_branches=b, **common,
         )
 
     k1, v1 = cache.k[:, :1] + 0, cache.v[:, :1] + 0
 
     def run(params, x):
+        x = x[None]  # [J=1, n, pd] job dim (engine gen_image_batch layout)
         f = jnp.zeros((TAYLORSEER_MAX_ORDER + 1, 3, n, pd), jnp.float32)
         nv = jnp.zeros((3,), jnp.int32)
         if len(idx_on):
@@ -379,7 +380,7 @@ def _production_run_fn(cfg, cache, x0, lat_pos, boundary, rope, steps):
         if len(idx_off):
             x, _, _ = phase(params, x, idx_off, k1, v1, cache.length[:1],
                             rope[:1], f[:, :1], nv[:1], 1)
-        return x
+        return x[0]
 
     detail = {
         "steps_cfg_on": int(len(idx_on)),
@@ -426,10 +427,11 @@ def run_denoise_naive(depth: int, image: int, steps: int, dtype_name: str):
 
     def run(x):
         return _denoise_phase(
-            params, cfg, x, cache.k, cache.v, cache.length, rope, lat_pos,
-            boundary, ts, dts, n_branches=3, cfg_text_scale=4.0,
-            cfg_img_scale=1.5, cfg_renorm_type="global", cfg_renorm_min=0.0,
-        )
+            params, cfg, x[None], cache.k, cache.v, cache.length, rope,
+            lat_pos, boundary, ts, dts, n_jobs=1, n_branches=3,
+            cfg_text_scale=4.0, cfg_img_scale=1.5, cfg_renorm_type="global",
+            cfg_renorm_min=0.0,
+        )[0]
 
     np.asarray(run(x_t))  # compile + warmup; np.asarray = completion barrier
     t0 = time.perf_counter()

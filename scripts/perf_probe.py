@@ -60,10 +60,11 @@ def probe_denoise_step(depth: int, fused: bool):
 
     def step(x):
         return _denoise_phase(
-            params, cfg, x, cache.k, cache.v, cache.length, rope, lat_pos,
-            boundary, ts[:2], dts[:2], n_branches=3, cfg_text_scale=4.0,
-            cfg_img_scale=1.5, cfg_renorm_type="global", cfg_renorm_min=0.0,
-        )
+            params, cfg, x[None], cache.k, cache.v, cache.length, rope,
+            lat_pos, boundary, ts[:2], dts[:2], n_jobs=1, n_branches=3,
+            cfg_text_scale=4.0, cfg_img_scale=1.5, cfg_renorm_type="global",
+            cfg_renorm_min=0.0,
+        )[0]
 
     t = timed(step, x0, reps=3) / 2  # 2 steps per call
     label = "fused" if fused else "unfused"

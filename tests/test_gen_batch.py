@@ -1,0 +1,216 @@
+"""Batched image generation: J independent jobs in one denoise scan.
+
+gen_image_batch / generate_batch are beyond-reference (the reference's
+generate_image handles one image per call, bagel.py:579-746); correctness
+is defined by parity with the single-job gen_image path, which itself has
+golden parity vs the reference (tests/test_denoise_parity.py).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from bagel_tpu.configs import tiny_bagel
+from bagel_tpu.data.tokenizer import MockTokenizer
+from bagel_tpu.inference.engine import BagelEngine, gen_batch_key
+from bagel_tpu.models.bagel import init_bagel_params
+from bagel_tpu.serving.runtime import ServingRuntime
+
+pytestmark = pytest.mark.quick
+
+
+@pytest.fixture(scope="module")
+def engine():
+    cfg = tiny_bagel()
+    tok = MockTokenizer(cfg.llm.vocab_size)
+    params = init_bagel_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    # llm2vae is zero-init per reference semantics; randomize so the
+    # velocity field actually depends on the per-job contexts/latents
+    params["llm2vae"]["w"] = 0.1 * jax.random.normal(
+        jax.random.PRNGKey(7), params["llm2vae"]["w"].shape, jnp.float32
+    )
+    return BagelEngine(params, cfg, tok, tok.new_token_ids, max_kv=512)
+
+
+def _t2i_contexts(engine, prompt):
+    ctx0 = engine.init_context()
+    ctx = engine.update_context_text(prompt, ctx0)
+    return ctx, ctx0, ctx.copy()
+
+
+def _shape(engine):
+    d = engine.cfg.latent_downsample
+    return (2 * d, 2 * d)  # 4 latent tokens
+
+
+def _noises(engine, shape, n_jobs, seed=3):
+    d = engine.cfg.latent_downsample
+    n = (shape[0] // d) * (shape[1] // d)
+    rng = np.random.default_rng(seed)
+    return [
+        rng.standard_normal((n, engine.cfg.patch_latent_dim)).astype(np.float32)
+        for _ in range(n_jobs)
+    ]
+
+
+@pytest.mark.parametrize("taylorseer", [False, True])
+def test_gen_image_batch_matches_singles(engine, taylorseer):
+    """A 3-job batched denoise must reproduce each job's single-call
+    latent (same contexts, same init noise) — including across the
+    cfg_interval phase boundary where CFG branches are dropped and the
+    TaylorSeer factor carry is re-laid-out per job."""
+    shape = _shape(engine)
+    prompts = ["a red bicycle", "two cats", "a red bicycle"]
+    noises = _noises(engine, shape, 3)
+    noises[2] = noises[0]  # jobs 0/2: same prompt AND noise -> same image
+    knobs = dict(
+        cfg_text_scale=2.0, cfg_img_scale=1.5, cfg_interval=(0.3, 1.0),
+        num_timesteps=8, timestep_shift=2.0, cfg_renorm_type="global",
+        cfg_renorm_min=0.0, enable_taylorseer=taylorseer,
+    )
+
+    singles = []
+    jobs = []
+    with jax.default_matmul_precision("float32"):
+        for p, nz in zip(prompts, noises):
+            ctx, pre_t, pre_i = _t2i_contexts(engine, p)
+            singles.append(engine.gen_image(
+                shape, ctx, cfg_text_precontext=pre_t,
+                cfg_img_precontext=pre_i, init_noise=nz,
+                return_latent=True, **knobs,
+            ))
+            ctx, pre_t, pre_i = _t2i_contexts(engine, p)
+            jobs.append(dict(ctx=ctx, cfg_text_precontext=pre_t,
+                             cfg_img_precontext=pre_i, init_noise=nz))
+        batched = engine.gen_image_batch(shape, jobs, return_latent=True,
+                                         **knobs)
+
+    assert len(batched) == 3
+    for got, want in zip(batched, singles):
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+    # jobs 0 and 2 share prompt+noise -> identical; job 1 must differ
+    np.testing.assert_allclose(batched[0], batched[2], rtol=1e-5, atol=1e-5)
+    assert np.abs(batched[0] - batched[1]).max() > 1e-6
+
+
+def test_gen_image_batch_decodes_images(engine):
+    """The non-latent path VAE-decodes all jobs in one batch."""
+    shape = _shape(engine)
+    jobs = []
+    for p, nz in zip(["a", "b"], _noises(engine, shape, 2)):
+        ctx, pre_t, pre_i = _t2i_contexts(engine, p)
+        jobs.append(dict(ctx=ctx, cfg_text_precontext=pre_t,
+                         cfg_img_precontext=pre_i, init_noise=nz))
+    imgs = engine.gen_image_batch(shape, jobs, num_timesteps=4,
+                                  cfg_text_scale=2.0)
+    assert len(imgs) == 2
+    for im in imgs:
+        assert im.shape == (shape[0], shape[1], 3) and im.dtype == np.uint8
+
+
+def test_generate_batch_matches_call(engine):
+    """engine.generate_batch == per-request engine(...) for text-only T2I
+    (identical context construction and denoise semantics)."""
+    shape = _shape(engine)
+    kw = dict(image_shapes=shape, num_timesteps=6, cfg_text_scale=2.0,
+              cfg_img_scale=1.5)
+    reqs = [dict(text="a red bicycle", rng=jax.random.PRNGKey(11), **kw),
+            dict(text="two cats", rng=jax.random.PRNGKey(12), **kw)]
+    with jax.default_matmul_precision("float32"):
+        singles = [engine(**r) for r in reqs]
+        batched = engine.generate_batch(reqs)
+    for got, want in zip(batched, singles):
+        assert want["image"] is not None
+        np.testing.assert_allclose(
+            got["image"].astype(np.int32), want["image"].astype(np.int32),
+            atol=1,  # uint8 quantization of fp noise
+        )
+
+
+def test_gen_batch_key_rules():
+    base = dict(text="hi", image_shapes=(64, 64))
+    assert gen_batch_key(base) == gen_batch_key(dict(base))
+    # rng does not affect the key (jobs keep their own noise)
+    assert gen_batch_key(dict(base, rng=jax.random.PRNGKey(1))) == \
+        gen_batch_key(base)
+    # explicit default == omitted
+    assert gen_batch_key(dict(base, num_timesteps=50)) == gen_batch_key(base)
+    assert gen_batch_key(dict(base, num_timesteps=20)) != gen_batch_key(base)
+    assert gen_batch_key(dict(base, image_shapes=(32, 32))) != \
+        gen_batch_key(base)
+    # non-batchable requests
+    assert gen_batch_key(dict(base, image=np.zeros((4, 4, 3)))) is None
+    assert gen_batch_key(dict(base, think=True)) is None
+    assert gen_batch_key(dict(base, understanding_output=True)) is None
+    assert gen_batch_key(dict(text=None)) is None
+    assert gen_batch_key(dict(base, unknown_flag=1)) is None
+
+
+def test_runtime_batches_compatible_gen_jobs(engine):
+    """The scheduler groups same-key T2I jobs into one generate_batch call
+    and runs the odd one out separately, resolving every future."""
+    shape = _shape(engine)
+    rt = ServingRuntime(engine, slots=2, decode_chunk=4, gen_batch=4)
+
+    calls = []
+    real_batch = engine.generate_batch
+
+    def spy_batch(reqs):
+        calls.append(("batch", len(reqs)))
+        return real_batch(reqs)
+
+    engine_call = engine.__call__
+    rt.engine = type(
+        "Spy", (), {
+            "generate_batch": staticmethod(spy_batch),
+            "__call__": staticmethod(
+                lambda **kw: (calls.append(("single", 1)), engine_call(**kw))[1]
+            ),
+        },
+    )()
+
+    kw = dict(image_shapes=shape, num_timesteps=4, cfg_text_scale=2.0)
+    f1 = rt.submit_generate("a", **kw)
+    f2 = rt.submit_generate("b", **kw)
+    f3 = rt.submit_generate("c", num_timesteps=6, image_shapes=shape,
+                            cfg_text_scale=2.0)  # different key
+    f4 = rt.submit_generate("d", **kw)
+    # drive the scheduler synchronously (no thread: deterministic order)
+    rt._run_gen_jobs()
+    rt._run_gen_jobs()
+    assert calls == [("batch", 3), ("single", 1)]
+    for f in (f1, f2, f4):
+        assert f.result(timeout=5)["image"] is not None
+    assert f3.result(timeout=5)["image"] is not None
+    assert rt.stats["gen_done"] == 4
+
+
+def test_runtime_gen_batch_failure_fails_batch_only(engine):
+    """A failing batched scan errors each future in that batch; later
+    requests still run."""
+    rt = ServingRuntime(engine, slots=1, decode_chunk=4, gen_batch=2)
+
+    class Boom(Exception):
+        pass
+
+    def broken_batch(reqs):
+        raise Boom("scan failed")
+
+    rt.engine = type(
+        "Spy", (), {
+            "generate_batch": staticmethod(broken_batch),
+            "__call__": staticmethod(lambda **kw: {"image": None, "text": "ok"}),
+        },
+    )()
+    kw = dict(image_shapes=_shape(engine), num_timesteps=4)
+    f1 = rt.submit_generate("a", **kw)
+    f2 = rt.submit_generate("b", **kw)
+    f3 = rt.submit_generate("c", understanding_output=True)  # single path
+    rt._run_gen_jobs()
+    rt._run_gen_jobs()
+    for f in (f1, f2):
+        with pytest.raises(Boom):
+            f.result(timeout=5)
+    assert f3.result(timeout=5)["text"] == "ok"

@@ -243,7 +243,7 @@ def test_exclusive_jobs_inherit_runtime_speculative(engine):
     rt.engine = recorder
     rt.submit_generate("q", understanding_output=True)
     rt.submit_generate("q", understanding_output=True, speculative=0)
-    rt._run_one_gen()
-    rt._run_one_gen()
+    rt._run_gen_jobs()
+    rt._run_gen_jobs()
     assert seen[0]["speculative"] == 5
     assert seen[1]["speculative"] == 0

@@ -119,12 +119,12 @@ def test_phase_split_carries_factor_cache():
     rope = jnp.asarray([8], jnp.int32)
     lat_pos = jnp.zeros((n,), jnp.int32)
     boundary = jnp.asarray([3, 4], jnp.int32)
-    x0 = jax.random.normal(jax.random.PRNGKey(1), (n, pd), jnp.float32)
+    x0 = jax.random.normal(jax.random.PRNGKey(1), (1, n, pd), jnp.float32)
     ts_all, dts_all = shifted_timesteps(steps, 1.0)  # steps-1 entries
     sch = taylorseer_schedule(len(ts_all))
 
     common = dict(
-        n_branches=1, cfg_text_scale=1.0, cfg_img_scale=1.0,
+        n_jobs=1, n_branches=1, cfg_text_scale=1.0, cfg_img_scale=1.0,
         cfg_renorm_type="global", cfg_renorm_min=0.0,
     )
     f0 = jnp.zeros((TAYLORSEER_MAX_ORDER + 1, 1, n, pd), jnp.float32)
