@@ -315,10 +315,9 @@ def _build_denoise(depth: int, image: int, dtype_name: str,
     n = h * w
     pd = cfg.patch_latent_dim
     prompt_len = 64
-    if jax.default_backend() == "tpu":
-        tb = -(-(n + 2) // 256) * 256  # padded query block (engine semantics)
-    else:
-        tb = n + 2
+    # exact query block (engine semantics: the flash kernel pads ragged T
+    # internally); cache buffer stays 256-bucketed for block_k tiling
+    tb = n + 2
     kv_max = -(-(prompt_len + tb) // 256) * 256
 
     nb = 3  # cond + cfg_text + cfg_img branches, batched
@@ -331,12 +330,18 @@ def _build_denoise(depth: int, image: int, dtype_name: str,
     return cfg, params, cache, x_t, lat_pos, boundary, rope
 
 
-def _production_run_fn(cfg, cache, x0, lat_pos, boundary, rope, steps):
+def _production_run_fn(cfg, cache, x0, lat_pos, boundary, rope, steps,
+                       fresh_threshold: int = 3, first_enhance: int = 5,
+                       all_full: bool = False):
     """Build the production-schedule image function: cfg_interval (0.4, 1.0]
     phase split (3-branch CFG inside, single branch outside) + TaylorSeer
     cache carried across the phase boundary — exactly what
     BagelEngine.gen_image(enable_taylorseer=True) executes. Returns
-    (run(params, x) -> final latent, schedule detail dict)."""
+    (run(params, x) -> final latent, schedule detail dict).
+
+    fresh_threshold/first_enhance sweep the TaylorSeer schedule (reference
+    defaults 3/5, cache_utils/taylorseer.py:79-114); all_full=True runs
+    every step as a full forward (the no-TaylorSeer quality reference)."""
     import jax.numpy as jnp
 
     from bagel_tpu.inference.engine import (
@@ -352,7 +357,15 @@ def _production_run_fn(cfg, cache, x0, lat_pos, boundary, rope, steps):
     cfg_on = (ts_np > 0.4) & (ts_np <= 1.0)
     idx_on = np.nonzero(cfg_on)[0]
     idx_off = np.nonzero(~cfg_on)[0]
-    sch = taylorseer_schedule(len(ts_np))
+    # schedule knobs are VALUES of same-shape traced arrays, so sweeping
+    # fresh_threshold / first_enhance / all_full reuses the compiled
+    # program (scripts/perf_probe_r4.py rides this for the on-chip sweep)
+    if all_full:
+        sch = taylorseer_schedule(len(ts_np), fresh_threshold=1,
+                                  first_enhance=len(ts_np))
+    else:
+        sch = taylorseer_schedule(len(ts_np), fresh_threshold=fresh_threshold,
+                                  first_enhance=first_enhance)
 
     common = dict(
         cfg_text_scale=4.0, cfg_img_scale=1.5,
@@ -1621,6 +1634,49 @@ def main():
         result["detail"]["vqa_decode_extrapolation"] = basis
     if decode_points or quant_decode:
         result["detail"]["vqa_decode_baseline"] = "40 tok/s/chip"
+    # host data-pipeline throughput (SURVEY hard part #6): the loader must
+    # outrun the train step's token consumption. Pure-CPU (no TPU session),
+    # cheap (~30 s), so it rides the parent when budget remains.
+    if platform != "cpu" and _remaining() > 120:
+        try:
+            dp = subprocess.run(
+                [sys.executable,
+                 os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "scripts", "data_throughput.py"),
+                 "--images", "32", "--batches", "3", "--workers", ""],
+                capture_output=True, text=True,
+                timeout=min(_remaining() - 30, 300),
+            )
+            rows = [json.loads(ln) for ln in dp.stdout.splitlines()
+                    if ln.startswith("{")]
+            if rows:
+                r0 = rows[0]
+                consume = None
+                tfd = result["detail"].get("train_fwd_bwd", {})
+                if tfd.get("full_depth_extrapolated"):
+                    consume = tfd["full_depth_extrapolated"]["tokens_per_s"]
+                result["detail"]["data_pipeline"] = {
+                    "loader_padded_tok_per_s": r0["padded_tok_s"],
+                    "images_per_s": r0["images_s"],
+                    "host_cores": r0["host_cores"],
+                    **(
+                        {
+                            "train_consume_tok_per_s_1chip": consume,
+                            "loader_vs_consume_1chip": round(
+                                r0["padded_tok_s"] / consume, 1
+                            ),
+                        }
+                        if consume else {}
+                    ),
+                    "note": (
+                        "1024px JPEG corpus -> native decode pool -> packer "
+                        "-> finalize, single worker on this host "
+                        "(scripts/data_throughput.py); production hosts "
+                        "scale with cores via --num_workers"
+                    ),
+                }
+        except Exception as e:
+            print(f"# data_pipeline probe failed: {e!r}", file=sys.stderr)
     print(json.dumps(result))
 
 
