@@ -42,6 +42,7 @@ from bagel_tpu.models.bagel import (
     unpatchify_latent,
 )
 from bagel_tpu.models.qwen2 import KVCache, kv_cache_init
+from bagel_tpu.ops import flash
 from bagel_tpu.models.vae import vae_decode, vae_encode
 from bagel_tpu.ops.embeds import (
     flattened_position_ids_extrapolate,
@@ -335,7 +336,9 @@ class BagelEngine:
         self.cfg = cfg
         self.tokenizer = tokenizer
         self.new_token_ids = new_token_ids
-        self.max_kv = -(-max_kv // 256) * 256  # flash kernel block multiple
+        # flash-kernel block multiple, padded past pathological bucket
+        # sizes (256*prime) that would force a tiny k-tile (ops/flash.py)
+        self.max_kv = flash.kv_bucket(max_kv)
         self.vae_transform = vae_transform
         self.vit_transform = vit_transform
         emb = params["llm"]["embed"]

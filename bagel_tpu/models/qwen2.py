@@ -46,12 +46,14 @@ from bagel_tpu.ops.rope import apply_rope, rope_cos_sin
 
 
 def _flash_eligible(t: int, s: int, d: int) -> bool:
-    """The Pallas kernel needs MXU-aligned block shapes and a TPU backend;
-    everything else (decode T=1, CPU tests) takes the XLA path."""
+    """The Pallas kernel needs MXU-aligned cache/head shapes and a TPU
+    backend; everything else (decode T=1, CPU tests) takes the XLA path.
+    T may be ragged — the kernel pads the query block internally (exact
+    gen blocks, e.g. 4098 at 1024px, must NOT fall through to the dense
+    XLA path: its [B,H,G,T,S] fp32 logits are ~11 GB at denoise shapes)."""
     return (
         jax.default_backend() == "tpu"
         and d % 128 == 0
-        and t % 128 == 0
         and s % 128 == 0
         and t >= 128
     )

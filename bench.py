@@ -318,7 +318,8 @@ def _build_denoise(depth: int, image: int, dtype_name: str,
     # exact query block (engine semantics: the flash kernel pads ragged T
     # internally); cache buffer stays 256-bucketed for block_k tiling
     tb = n + 2
-    kv_max = -(-(prompt_len + tb) // 256) * 256
+    from bagel_tpu.ops.flash import kv_bucket
+    kv_max = kv_bucket(prompt_len + tb)
 
     nb = 3  # cond + cfg_text + cfg_img branches, batched
     cache = qwen2.kv_cache_init(cfg.llm, nb, kv_max, dtype)
@@ -1203,14 +1204,15 @@ def _denoise_analytic_flops(image: int, sched: dict, prompt_len: int = 64):
     L = cfg.num_hidden_layers
     per_layer = d * (qd + 2 * kvd) + qd * d + 3 * d * f
     n = (image // 16) ** 2
-    tb = -(-(n + 2) // 256) * 256  # padded query block (engine bucketing)
+    tb = n + 2  # exact query block (dense layers run unpadded rows)
+    tq = -(-tb // 256) * 256  # flash pads q rows to a 256-multiple
     kv = prompt_len + tb  # live kv region (dead cache blocks DMA-elided)
     branch_fwds = (
         3 * sched.get("full_forwards_on", 0)
         + sched.get("full_forwards_off", 0)
     )
     dense = branch_fwds * tb * 2 * per_layer * L
-    attn = branch_fwds * L * 4 * tb * kv * qd
+    attn = branch_fwds * L * 4 * tq * kv * qd
     return float(dense), float(attn)
 
 

@@ -38,6 +38,11 @@ def main():
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--j2", action="store_true")
     ap.add_argument("--skip_sweep", action="store_true")
+    ap.add_argument("--save_latent", default=None,
+                    help="save the PROD final latent to this .npy")
+    ap.add_argument("--ref_latent", default=None,
+                    help="compare the PROD latent to this .npy (MAE) — "
+                    "cross-process A/B, e.g. BAGEL_FLASH_INT8=1 vs 0")
     args = ap.parse_args()
 
     import bench as bench_mod
@@ -70,6 +75,15 @@ def main():
     print(f"PROD depth={args.depth} {args.dtype} exact-block "
           f"median={np.median(times):.3f}s runs="
           f"{[round(t, 3) for t in times]} detail={detail}", flush=True)
+    if args.save_latent or args.ref_latent:
+        lat = np.asarray(run_def(params, x0), np.float32)
+        if args.save_latent:
+            np.save(args.save_latent, lat)
+        if args.ref_latent:
+            ref = np.load(args.ref_latent)
+            mae = float(np.abs(lat - ref).mean())
+            rel = mae / (float(np.abs(ref).mean()) or 1.0)
+            print(f"LATENT mae_vs_ref={mae:.5f} rel={rel:.4f}", flush=True)
 
     # -- 2. TaylorSeer schedule sweep (same compiled program) --------------
     if not args.skip_sweep:
