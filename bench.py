@@ -314,6 +314,18 @@ def _build_denoise(depth: int, image: int, dtype_name: str,
     h = w = image // down
     n = h * w
     pd = cfg.patch_latent_dim
+    # llm2vae is zero-initialized (reference _init_weights parity,
+    # bagel.py:96-99) — with synthetic weights every flow velocity would
+    # be exactly 0 and the denoise a fixed point, silently turning every
+    # latent comparison (fidelity gate, TaylorSeer sweep) into noise==
+    # noise (r4 finding, NOTES). Give it a realistic nonzero init here:
+    # hidden RMS is ~1 after the final norm, so std d^-0.5 puts |v| ~ |x|.
+    d_model = cfg.llm.hidden_size
+    params["llm2vae"] = {
+        "w": (jax.random.normal(jax.random.PRNGKey(2), (d_model, pd),
+                                jnp.float32) * d_model**-0.5).astype(dtype),
+        "b": jnp.zeros((pd,), dtype),
+    }
     prompt_len = 64
     # exact query block (engine semantics: the flash kernel pads ragged T
     # internally); cache buffer stays 256-bucketed for block_k tiling
@@ -512,8 +524,13 @@ def run_fidelity_denoise(depth: int, image: int, steps: int):
         np.sum(lat_ref_h * lat_q_h)
         / max(np.linalg.norm(lat_ref_h) * np.linalg.norm(lat_q_h), 1e-12)
     )
+    # vacuity guard (r4 finding): with zero llm2vae the flow is a fixed
+    # point and ref==quant==x0 trivially; motion proves the gate is live
+    motion = float(np.mean(np.abs(lat_ref_h - np.asarray(x0, np.float32))))
     out = {
         "depth": depth, "image": image, "steps": steps,
+        "latent_motion_vs_noise": round(motion, 6),
+        "comparison_live": bool(motion > 1e-3),
         "latent_mae": round(mae, 6),
         "latent_rel_mae": round(mae / max(ref_mag, 1e-12), 6),
         "latent_cosine": round(cos, 6),

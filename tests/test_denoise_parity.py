@@ -96,6 +96,16 @@ def test_denoise_latent_matches_reference(reference_gen_bagel):
     from modeling.bagel.qwen2_navit import NaiveCache
 
     cfg, model = reference_gen_bagel
+    # The reference zero-initializes llm2vae (_init_weights, bagel.py:96-99),
+    # which makes the random-init flow a fixed point: both latents would be
+    # the unchanged init noise and this parity trivially vacuous (r4
+    # finding). Randomize it (both sides inherit via state_dict conversion)
+    # so the CFG combine, renorm, and integration are genuinely compared.
+    with torch.no_grad():
+        g = torch.Generator().manual_seed(11)
+        model.llm2vae.weight.normal_(std=cfg.llm.hidden_size**-0.5,
+                                     generator=g)
+        model.llm2vae.bias.normal_(std=0.01, generator=g)
     L = cfg.llm.num_hidden_layers
     tok = _FakeTokenizer()
     prompt = "a cat on a mat"
@@ -160,6 +170,10 @@ def test_denoise_latent_matches_reference(reference_gen_bagel):
         )
 
     assert got.shape == ref_latent.shape
+    # vacuity guard: the reference latent must actually have moved off the
+    # init noise, else the MAE bound below compares noise to noise
+    assert np.abs(ref_latent - noise).mean() > 1e-3, \
+        "reference latent did not move — parity comparison is vacuous"
     mae = np.abs(got - ref_latent).mean()
     # BASELINE gate is 1e-2; fp32 end-to-end should sit far below it
     assert mae < 1e-2, f"fidelity gate violated: MAE={mae}"

@@ -40,7 +40,14 @@ def setup():
 def init_params(cfg):
     from bagel_tpu.models.bagel import init_bagel_params
 
-    return init_bagel_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    params = init_bagel_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    # llm2vae is zero-init per reference semantics (bagel.py:96-99) — the
+    # flow would be a fixed point (latent == init noise bit-exactly) and
+    # this gate vacuous (r4 finding). Randomize so velocities are real.
+    params["llm2vae"]["w"] = 0.1 * jax.random.normal(
+        jax.random.PRNGKey(7), params["llm2vae"]["w"].shape, jnp.float32
+    )
+    return params
 
 
 def _gen_latent(engine, noise, steps=8):
@@ -69,6 +76,10 @@ def test_w8a8_full_schedule_denoise_latent_close(setup):
 
     eng_ref = BagelEngine(params, cfg, tok, tok.new_token_ids, max_kv=1024)
     lat_ref = np.asarray(_gen_latent(eng_ref, noise), np.float32)
+    # vacuity guard: zero llm2vae makes the flow a fixed point and this
+    # whole gate noise==noise (r4 finding) — the latent must have moved
+    assert float(np.abs(lat_ref - noise).mean()) > 1e-3, \
+        "latent did not move: llm2vae is zero — fidelity gate is vacuous"
 
     params_q = quantize_bagel_params(init_params(cfg), "w8a8")
     eng_q = BagelEngine(params_q, cfg, tok, tok.new_token_ids, max_kv=1024)
