@@ -22,10 +22,21 @@ def _engine(params, cfg, tok):
     return BagelEngine(params, cfg, tok, tok.new_token_ids, max_kv=512)
 
 
+def _randomize_llm2vae(params):
+    # zero llm2vae (reference init parity) would freeze the flow: the
+    # sharded-vs-unsharded comparison would only exercise the VAE decode
+    # of unchanged noise, not the partitioned LLM math (r4 finding)
+    params["llm2vae"]["w"] = 0.1 * jax.random.normal(
+        jax.random.PRNGKey(7), params["llm2vae"]["w"].shape, jnp.float32
+    )
+    return params
+
+
 def test_sharded_inference_matches_unsharded():
     cfg = micro_bagel()
     tok = MockTokenizer(cfg.llm.vocab_size)
-    params = init_bagel_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    params = _randomize_llm2vae(
+        init_bagel_params(jax.random.PRNGKey(0), cfg, jnp.float32))
 
     kwargs = dict(
         text="hello world", image_shapes=(16, 16), num_timesteps=3,
@@ -51,7 +62,8 @@ def test_sharded_w8a8_inference_runs():
 
     cfg = micro_bagel()
     tok = MockTokenizer(cfg.llm.vocab_size)
-    params = init_bagel_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    params = _randomize_llm2vae(
+        init_bagel_params(jax.random.PRNGKey(0), cfg, jnp.float32))
     qparams = quantize_bagel_params(params, "w8a8")
 
     kwargs = dict(

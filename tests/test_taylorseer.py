@@ -69,6 +69,11 @@ def test_engine_taylorseer_runs_and_tracks_plain():
     cfg = tiny_bagel()
     tok = MockTokenizer(cfg.llm.vocab_size)
     params = init_bagel_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    # zero llm2vae (reference init parity) freezes the flow — randomize so
+    # the plain-vs-taylorseer closeness below compares real trajectories
+    params["llm2vae"]["w"] = 0.1 * jax.random.normal(
+        jax.random.PRNGKey(9), params["llm2vae"]["w"].shape, jnp.float32
+    )
     eng = BagelEngine(params, cfg, tok, tok.new_token_ids, max_kv=512)
 
     kwargs = dict(
