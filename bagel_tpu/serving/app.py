@@ -46,6 +46,13 @@ def parse_args(argv=None):
                         "inferencer.py:215-225)")
     p.add_argument("--timestep_shift", type=float, default=3.0)
     p.add_argument("--enable_taylorseer", action="store_true")
+    p.add_argument("--taylorseer_threshold", type=int, default=3,
+                   help="full forward every Nth step (reference default 3; "
+                        "5 measured 1.43x faster at 0.52%% latent rel-MAE "
+                        "vs all-full, NOTES r4)")
+    p.add_argument("--taylorseer_first_enhance", type=int, default=5,
+                   help="forced-full warmup steps (reference default 5; 3 "
+                        "measured 10%% faster at equal fidelity, NOTES r4)")
     p.add_argument("--quant", type=str, default=None,
                    choices=[None, "int8", "w8a8", "int4", "nf4"],
                    help="LLM quantization: int8 per-column weight-only, "
@@ -165,6 +172,8 @@ def run_once(engine, vae_tf, vit_tf, args):
         num_timesteps=args.num_timesteps,
         image_shapes=(args.image_size, args.image_size),
         enable_taylorseer=args.enable_taylorseer,
+        taylorseer_threshold=args.taylorseer_threshold,
+        taylorseer_first_enhance=args.taylorseer_first_enhance,
         rng=rng,
     )
     if args.mode == "understand":

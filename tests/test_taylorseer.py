@@ -89,6 +89,31 @@ def test_engine_taylorseer_runs_and_tracks_plain():
     assert diff < 60.0, diff
     assert np.isfinite(fast.astype(np.float32)).all()
 
+    # schedule knobs (r4 sweep lever): a sparser schedule (threshold 5,
+    # 2-step warmup) must change the trajectory (schedule really applied)
+    # yet stay close to the plain run
+    sparse = eng(enable_taylorseer=True, taylorseer_threshold=5,
+                 taylorseer_first_enhance=2, **kwargs)["image"]
+    assert np.abs(sparse.astype(np.float32) - fast.astype(np.float32)).max() > 0
+    diff_sparse = np.abs(
+        plain.astype(np.float32) - sparse.astype(np.float32)
+    ).mean()
+    assert diff_sparse < 80.0, diff_sparse
+
+
+def test_taylorseer_knobs_split_gen_batch_key():
+    """Requests at different step-cache schedules must not share a batched
+    denoise (the schedule arrays differ per job)."""
+    from bagel_tpu.inference.engine import gen_batch_key
+
+    a = gen_batch_key(dict(text="x", enable_taylorseer=True))
+    b = gen_batch_key(dict(text="x", enable_taylorseer=True,
+                           taylorseer_threshold=5))
+    c = gen_batch_key(dict(text="x", enable_taylorseer=True,
+                           taylorseer_threshold=3))
+    assert a is not None and b is not None
+    assert a != b and a == c
+
 
 def test_phase_split_carries_factor_cache():
     """Splitting a schedule across two _denoise_phase_taylorseer calls with
