@@ -173,7 +173,11 @@ class ServingRuntime:
         self.ngram = ngram
         # gen_batch=B: up to B queued T2I jobs sharing one gen_batch_key
         # (same shape/CFG schedule, no input image/think) run as ONE batched
-        # denoise scan (engine.generate_batch) instead of serially
+        # denoise scan (engine.generate_batch) instead of serially.
+        # HBM bound (measured, NOTES r4): J=2 at 1024px full-depth w8a8
+        # OOMs a single 16 GB v5e (the 2*3-branch gate_up activation tile
+        # alone is 1.7 GB on top of 13.7 GB of weights+caches) — use >1
+        # only for <=512-768px shapes or weight-sharded (--mesh) serving.
         self.gen_batch = gen_batch
         self.hist = np.zeros((slots, engine.max_kv), np.int32)
         self.hist_len = np.zeros(slots, np.int32)
