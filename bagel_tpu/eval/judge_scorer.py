@@ -109,7 +109,12 @@ def score_wise(args, judge):
     items = []
     for image_path, meta in iter_layout(args.results_dir):
         items.append({
-            "id": meta.get("index", len(items)),
+            # id = (metadata index, sample filename): iter_layout yields the
+            # SAME metadata dict for every samples/*.png in a folder, so the
+            # bare index would collapse multi-sample layouts in the resume
+            # done-set (ADVICE r4)
+            "id": f"{meta.get('index', len(items))}:"
+                  f"{os.path.basename(image_path)}",
             "images": [image_path],
             "prompt": meta.get("prompt", meta.get("Prompt", "")),
             "explanation": meta.get("explanation", meta.get("Explanation", "")),
@@ -142,7 +147,9 @@ def score_gedit(args, judge):
     items = []
     for image_path, meta in iter_layout(args.results_dir):
         items.append({
-            "id": meta.get("index", len(items)),
+            # unique per sample image, not per folder (see score_wise)
+            "id": f"{meta.get('index', len(items))}:"
+                  f"{os.path.basename(image_path)}",
             "edited": image_path,
             "source": os.path.join(args.origin_root or "", meta["image"]),
             "instruction": meta.get("prompt", ""),

@@ -618,20 +618,24 @@ class BagelEngine:
 
         # assemble branches per job: order [cond, cfg_text, cfg_img];
         # branch structure must be uniform across jobs (batch-key contract)
-        use_text = cfg_text_scale > 1.0 and jobs[0].get("cfg_text_precontext") is not None
-        use_img = cfg_img_scale > 1.0 and jobs[0].get("cfg_img_precontext") is not None
+        # in BOTH directions — a job with an extra precontext must fail the
+        # batch, not silently drop its CFG branch (ADVICE r4)
+        has_text = [j.get("cfg_text_precontext") is not None for j in jobs]
+        has_img = [j.get("cfg_img_precontext") is not None for j in jobs]
+        assert all(h == has_text[0] for h in has_text), \
+            "non-uniform cfg_text branch structure"
+        assert all(h == has_img[0] for h in has_img), \
+            "non-uniform cfg_img branch structure"
+        use_text = cfg_text_scale > 1.0 and has_text[0]
+        use_img = cfg_img_scale > 1.0 and has_img[0]
         branches: List[List[GenContext]] = []  # jobs-major, branch-minor
         conds: List[List[GenContext]] = []
         for job in jobs:
             row = [job["ctx"]]
             if use_text:
-                pre = job.get("cfg_text_precontext")
-                assert pre is not None, "non-uniform cfg_text branch structure"
-                row.append(pre)
+                row.append(job["cfg_text_precontext"])
             if use_img:
-                pre = job.get("cfg_img_precontext")
-                assert pre is not None, "non-uniform cfg_img branch structure"
-                row.append(pre)
+                row.append(job["cfg_img_precontext"])
             for c in row:
                 assert c.kv_len + tb <= self.max_kv, (
                     f"KV buffer too small: kv_len={c.kv_len} + block={tb} > "

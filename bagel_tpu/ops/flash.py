@@ -252,7 +252,14 @@ def _flash_kernel_q8(
             preferred_element_type=jnp.int32,
         ).astype(jnp.float32) * (row_m * (vs / 127.0))
 
-        l_new = l_scr[:, 0:1] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        # denominator from the SAME dequantized probabilities the numerator
+        # saw (sum(p_i8) * row_m / 127) — summing fp32 p here would give
+        # numerator and denominator different probability masses, a
+        # systematic bias on top of int8 rounding (ADVICE r4)
+        p_deq_sum = jnp.sum(
+            p_i8.astype(jnp.float32), axis=1, keepdims=True
+        ) * (row_m / 127.0)
+        l_new = l_scr[:, 0:1] * alpha + p_deq_sum
         acc_scr[:] = acc_scr[:] * alpha + pv
         m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
         l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)

@@ -306,10 +306,13 @@ def main(argv: Optional[list] = None):
                     help="K>0: prompt-lookup speculative decode per chunk "
                          "(greedy-exact; big wins on context-echoing chats)")
     ap.add_argument("--ngram", type=int, default=3)
-    ap.add_argument("--gen_batch", type=int, default=4,
+    ap.add_argument("--gen_batch", type=int, default=1,
                     help="N>1: queued T2I jobs sharing shape/CFG params run "
-                         "as one batched denoise scan (amortizes weight "
-                         "reads across requests)")
+                         "as one batched denoise scan. Opt-in: on a single "
+                         "16 GB chip even J=2 at 1024px full-depth w8a8 "
+                         "OOMs (runtime.py HBM bound; NOTES r4) — raise "
+                         "only for <=512px shapes or --mesh weight-sharded "
+                         "serving")
     own, rest = ap.parse_known_args(argv)
     args = parse_args(rest)
 
