@@ -59,9 +59,8 @@ def test_chunked_gradients_match_dense():
 
     g1 = jax.grad(loss_dense, argnums=(0, 1, 2))(q, k, v)
     g2 = jax.grad(loss_chunked, argnums=(0, 1, 2))(q, k, v)
-    for a, b in zip(g1, g2):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=5e-5, atol=5e-5)
+    from asserts import assert_grad_trees_close
+    assert_grad_trees_close(g2, g1, rtol=5e-5, atol=5e-5)
 
 
 def test_train_forward_with_chunked_matches_dense():
@@ -79,7 +78,8 @@ def test_train_forward_with_chunked_matches_dense():
     dense = bagel_forward_train(params, cfg, batch, noise, precision="float32")
     chunked = bagel_forward_train(params, cfg, batch, noise,
                                   precision="float32", attn_chunk=16)
-    np.testing.assert_allclose(np.asarray(chunked["ce"]),
-                               np.asarray(dense["ce"]), rtol=1e-4, atol=1e-4)
-    np.testing.assert_allclose(np.asarray(chunked["mse"]),
-                               np.asarray(dense["mse"]), rtol=1e-4, atol=1e-4)
+    from asserts import assert_close_live
+    assert_close_live(chunked["ce"], dense["ce"], floor=1e-5,
+                      rtol=1e-4, atol=1e-4, name="ce")
+    assert_close_live(chunked["mse"], dense["mse"], floor=1e-5,
+                      rtol=1e-4, atol=1e-4, name="mse")

@@ -172,10 +172,11 @@ def test_denoise_latent_matches_reference(reference_gen_bagel):
     assert got.shape == ref_latent.shape
     # vacuity guard: the reference latent must actually have moved off the
     # init noise, else the MAE bound below compares noise to noise
-    assert np.abs(ref_latent - noise).mean() > 1e-3, \
-        "reference latent did not move — parity comparison is vacuous"
+    from asserts import assert_close_live, assert_latent_motion
+    assert_latent_motion(ref_latent, noise)
     mae = np.abs(got - ref_latent).mean()
     # BASELINE gate is 1e-2; fp32 end-to-end should sit far below it
     assert mae < 1e-2, f"fidelity gate violated: MAE={mae}"
     assert mae < 1e-3, f"unexpected drift: MAE={mae}"
-    np.testing.assert_allclose(got, ref_latent, rtol=5e-2, atol=5e-2)
+    assert_close_live(got, ref_latent, moved_from=noise, rtol=5e-2,
+                      atol=5e-2, name="denoise parity")

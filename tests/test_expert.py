@@ -70,14 +70,11 @@ def _compare(cfg, params, batch, noise, mesh, **kw):
         l_ep, g_ep = jax.jit(
             jax.value_and_grad(lambda p: loss_fn(p, (mesh, "ep")))
         )(params)
-    np.testing.assert_allclose(float(l_dense), float(l_ep), rtol=1e-5)
-    flat_d, tree_d = jax.tree_util.tree_flatten(g_dense)
-    flat_e, tree_e = jax.tree_util.tree_flatten(g_ep)
-    assert tree_d == tree_e
-    for a, b in zip(flat_d, flat_e):
-        np.testing.assert_allclose(
-            np.asarray(a), np.asarray(b), rtol=3e-4, atol=1e-5
-        )
+    from asserts import assert_close_live, assert_grad_trees_close
+    assert_close_live(float(l_ep), float(l_dense), floor=1e-5, rtol=1e-5,
+                      name="ep loss")
+    assert_grad_trees_close(g_ep, g_dense, rtol=3e-4, atol=1e-5,
+                            name="ep grads")
 
 
 @pytest.mark.parametrize("freeze", [False, True])

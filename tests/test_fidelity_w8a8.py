@@ -78,8 +78,8 @@ def test_w8a8_full_schedule_denoise_latent_close(setup):
     lat_ref = np.asarray(_gen_latent(eng_ref, noise), np.float32)
     # vacuity guard: zero llm2vae makes the flow a fixed point and this
     # whole gate noise==noise (r4 finding) — the latent must have moved
-    assert float(np.abs(lat_ref - noise).mean()) > 1e-3, \
-        "latent did not move: llm2vae is zero — fidelity gate is vacuous"
+    from asserts import assert_close_live, assert_latent_motion
+    assert_latent_motion(lat_ref, noise)
 
     params_q = quantize_bagel_params(init_params(cfg), "w8a8")
     eng_q = BagelEngine(params_q, cfg, tok, tok.new_token_ids, max_kv=1024)
@@ -98,7 +98,8 @@ def test_w8a8_full_schedule_denoise_latent_close(setup):
     # and the comparison is real: identical inputs through the SAME dtype
     # are exactly equal, so a vacuous bound can't pass by accident
     lat_ref2 = np.asarray(_gen_latent(eng_ref, noise), np.float32)
-    np.testing.assert_allclose(lat_ref, lat_ref2, atol=1e-5)
+    assert_close_live(lat_ref2, lat_ref, moved_from=noise, rtol=0,
+                      atol=1e-5, name="determinism")
 
 
 def test_w8a8_int8kv_decode_teacher_forced_agreement():

@@ -59,14 +59,11 @@ def test_pipeline_train_gradients_match_dense(pp, B):
         l_pp, g_pp = jax.jit(
             jax.value_and_grad(lambda p: loss_fn(p, (mesh, "pp")))
         )(params)
-    np.testing.assert_allclose(float(l_dense), float(l_pp), rtol=1e-5)
-    flat_d, tree_d = jax.tree_util.tree_flatten(g_dense)
-    flat_p, tree_p = jax.tree_util.tree_flatten(g_pp)
-    assert tree_d == tree_p
-    for a, b in zip(flat_d, flat_p):
-        np.testing.assert_allclose(
-            np.asarray(a), np.asarray(b), rtol=3e-4, atol=1e-5
-        )
+    from asserts import assert_close_live, assert_grad_trees_close
+    assert_close_live(float(l_pp), float(l_dense), floor=1e-5, rtol=1e-5,
+                      name="pp loss")
+    assert_grad_trees_close(g_pp, g_dense, rtol=3e-4, atol=1e-5,
+                            name="pp grads")
 
 
 def test_pipeline_chunked_attention_matches_dense():
@@ -86,4 +83,6 @@ def test_pipeline_chunked_attention_matches_dense():
         l_pp = float(
             jax.jit(lambda p: loss_fn(p, (mesh, "pp"), 64))(params)
         )
-    np.testing.assert_allclose(l_dense, l_pp, rtol=1e-5)
+    from asserts import assert_close_live
+    assert_close_live(l_pp, l_dense, floor=1e-5, rtol=1e-5,
+                      name="pp chunked loss")

@@ -43,9 +43,9 @@ def test_ring_matches_dense(causal, sp):
         out_specs=P(None, "sp", None, None),
     )
     got = jax.jit(fn)(q, k, v)
-    np.testing.assert_allclose(
-        np.asarray(got), np.asarray(expected), rtol=2e-5, atol=2e-5
-    )
+    from asserts import assert_close_live
+    assert_close_live(got, expected, floor=1e-3, rtol=2e-5, atol=2e-5,
+                      name="ring attention")
 
 
 def test_ring_packed_attention_matches_dense_mask():
@@ -85,9 +85,9 @@ def test_ring_packed_attention_matches_dense_mask():
             check_vma=False,
         )
     )(q, k, v, doc, fan, noi)
-    np.testing.assert_allclose(
-        np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4
-    )
+    from asserts import assert_close_live
+    assert_close_live(got, want, floor=1e-3, rtol=2e-4, atol=2e-4,
+                      name="ring packed attention")
 
 
 def test_context_parallel_train_gradients_match_dense():
@@ -126,10 +126,8 @@ def test_context_parallel_train_gradients_match_dense():
         l_cp, g_cp = jax.value_and_grad(
             lambda p: loss_fn(p, (mesh, "fsdp"))
         )(params)
-    np.testing.assert_allclose(float(l_dense), float(l_cp), rtol=1e-4)
-    flat_d = jax.tree_util.tree_leaves(g_dense)
-    flat_c = jax.tree_util.tree_leaves(g_cp)
-    for a, b in zip(flat_d, flat_c):
-        np.testing.assert_allclose(
-            np.asarray(a), np.asarray(b), rtol=3e-3, atol=3e-4
-        )
+    from asserts import assert_close_live, assert_grad_trees_close
+    assert_close_live(float(l_cp), float(l_dense), floor=1e-5, rtol=1e-4,
+                      name="cp loss")
+    assert_grad_trees_close(g_cp, g_dense, rtol=3e-3, atol=3e-4,
+                            name="cp grads")

@@ -247,8 +247,8 @@ def test_siglip_encode_flash_matches_dense():
 
     l_f, out_f, g_f = run("flash")
     l_d, out_d, g_d = run("dense")
-    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_d),
-                               rtol=1e-4, atol=1e-4)
-    for a, b in zip(jax.tree.leaves(g_f), jax.tree.leaves(g_d)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=2e-3, atol=2e-3)
+    from asserts import assert_close_live, assert_grad_trees_close
+    assert_close_live(out_f, out_d, floor=1e-3, rtol=1e-4, atol=1e-4,
+                      name="siglip flash-vs-dense")
+    assert_grad_trees_close(g_f, g_d, rtol=2e-3, atol=2e-3,
+                            name="siglip grads")

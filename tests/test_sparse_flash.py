@@ -98,10 +98,8 @@ def test_sparse_gradients_match_dense():
 
     gd = jax.grad(dense_loss, argnums=(0, 1, 2))(q, k, v)
     gs = jax.grad(sparse_loss, argnums=(0, 1, 2))(q, k, v)
-    for a, b in zip(gd, gs):
-        np.testing.assert_allclose(
-            np.asarray(a), np.asarray(b), rtol=3e-4, atol=3e-5
-        )
+    from asserts import assert_grad_trees_close
+    assert_grad_trees_close(gs, gd, rtol=3e-4, atol=3e-5)
 
 
 def test_all_padding_rows_are_zero():
@@ -146,9 +144,8 @@ def test_train_step_sparse_matches_dense():
 
     l_dense, g_dense = jax.value_and_grad(lambda p: loss_fn(p, None))(params)
     l_sparse, g_sparse = jax.value_and_grad(lambda p: loss_fn(p, 32))(params)
-    np.testing.assert_allclose(float(l_dense), float(l_sparse), rtol=1e-4)
-    for a, b in zip(jax.tree_util.tree_leaves(g_dense),
-                    jax.tree_util.tree_leaves(g_sparse)):
-        np.testing.assert_allclose(
-            np.asarray(a), np.asarray(b), rtol=3e-3, atol=3e-4
-        )
+    from asserts import assert_close_live, assert_grad_trees_close
+    assert_close_live(float(l_sparse), float(l_dense), floor=1e-5,
+                      rtol=1e-4, name="sparse loss")
+    assert_grad_trees_close(g_sparse, g_dense, rtol=3e-3, atol=3e-4,
+                            name="sparse grads")

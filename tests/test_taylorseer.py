@@ -173,9 +173,9 @@ def test_phase_split_carries_factor_cache():
     # split at step 7 (mid-Taylor-cadence) and thread the cache
     x_a, f_a, nv_a = phase(x0, f0, nv0, slice(0, 7))
     x_b, _, _ = phase(x_a, f_a, nv_a, slice(7, steps))
-    np.testing.assert_allclose(
-        np.asarray(x_full), np.asarray(x_b), rtol=1e-5, atol=1e-5
-    )
+    from asserts import assert_close_live
+    assert_close_live(x_b, x_full, moved_from=x0, rtol=1e-5, atol=1e-5,
+                      name="taylorseer carry")
     # a fresh cache at the boundary must NOT reproduce the continuous run
     x_c, _, _ = phase(x_a, f0, nv0, slice(7, steps))
     assert np.abs(np.asarray(x_full) - np.asarray(x_c)).max() > 1e-6
