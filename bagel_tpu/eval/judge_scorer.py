@@ -55,8 +55,14 @@ def score_kris(args, judge):
         entry = annotations[cat][image_id]
         return os.path.join(args.bench_dir, cat, entry["ori_img"])
 
+    def gt_of(cat, image_id):
+        # viewpoint_change judges against the ground-truth view
+        # (metrics_view_change.py:233-250)
+        rel = annotations[cat][image_id].get("gt_img")
+        return os.path.join(args.bench_dir, cat, rel) if rel else None
+
     return score_results(annotations, judge, image_of, orig_of,
-                         out_path=args.out)
+                         out_path=args.out, gt_of=gt_of)
 
 
 def score_rise(args, judge):
@@ -64,8 +70,15 @@ def score_rise(args, judge):
 
     with open(args.data) as f:
         items = json.load(f)
-    with open(args.prompts) as f:
-        prompts = json.load(f)
+    if args.prompts:
+        with open(args.prompts) as f:
+            prompts = json.load(f)
+    else:
+        # canonical reference prompt bytes (eval/prompts/rise/), keyed by
+        # the plan_judges prompt_keys
+        from bagel_tpu.eval.prompts import rise_defaults
+
+        prompts = rise_defaults()
 
     def image_of(item):
         base = os.path.join(args.results_dir, item["category"])

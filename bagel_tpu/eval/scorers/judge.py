@@ -34,9 +34,17 @@ _WISE_PATTERN = re.compile(
 
 
 def build_wise_prompt(prompt: str, explanation: str = "") -> str:
-    """WISE judge instruction (the published WiScore protocol: three 0-2
-    rubrics + a strict three-line output the `_WISE_PATTERN` extractor
-    parses; semantics of gpt_eval_mp.py:73-141, restated)."""
+    """WISE judge instruction. Canonical-first: returns the byte-exact
+    reference user prompt (gpt_eval_mp.py:85-144, vendored under
+    eval/prompts/wise/) with the Prompt/Explanation slots filled; the
+    system text is available via eval.prompts.wise_system() for judges
+    that carry a system message. Falls back to the rubric-equivalent
+    paraphrase below only when the vendored file is missing."""
+    from bagel_tpu.eval.prompts import wise_user
+
+    canonical = wise_user(prompt, explanation)
+    if canonical is not None:
+        return canonical
     return f"""You are a strict quality auditor for text-to-image generation.
 Evaluate the attached image against the PROMPT (and its EXPLANATION) on
 three 0-2 rubrics. Be ruthless: a 2 is reserved for flawless results.
@@ -71,9 +79,17 @@ _VIE_CONTEXT = (
 
 def build_vie_sc_tie_prompt(instruction: str) -> str:
     """Semantic-consistency judge prompt for an edit pair (VIEScore tie
-    task, vie_prompts.py _prompts_0shot_two_image_edit_rule +
-    _prompts_0shot_tie_rule_SC semantics): two images (original, edited),
-    two 0-10 scores — editing success and (lack of) overediting."""
+    task): canonical-first — the byte-exact "\\n".join([context,
+    two_image_edit_rule, tie_rule_SC]) composition of viescore/
+    __init__.py:31 with <instruction> substituted (vendored under
+    eval/prompts/gedit/); paraphrase fallback below. Two images
+    (original, edited), two 0-10 scores — editing success and (lack of)
+    overediting."""
+    from bagel_tpu.eval.prompts import vie_sc_tie
+
+    canonical = vie_sc_tie(instruction)
+    if canonical is not None:
+        return canonical
     return f"""{_VIE_CONTEXT}
 
 RULES: Two images are provided — the first is the original AI-generated
@@ -94,9 +110,14 @@ Editing instruction: {instruction}
 
 
 def build_vie_pq_prompt() -> str:
-    """Perceptual-quality judge prompt (vie_prompts.py
-    _prompts_0shot_rule_PQ semantics): edited image only, two 0-10 scores
-    — naturalness and freedom from artifacts."""
+    """Perceptual-quality judge prompt: canonical-first (context +
+    rule_PQ, viescore/__init__.py:32); paraphrase fallback. Edited image
+    only, two 0-10 scores — naturalness and freedom from artifacts."""
+    from bagel_tpu.eval.prompts import vie_pq
+
+    canonical = vie_pq()
+    if canonical is not None:
+        return canonical
     return f"""{_VIE_CONTEXT}
 
 RULES: The image is AI-generated. Evaluate how successfully it was

@@ -10,11 +10,13 @@ metrics_common.py:173-232; dual-score block extraction,
 metrics_knowledge.py:206-262) and the published aggregation tables
 (summarize.py:10-162) — all unit-testable with a canned judge.
 
-Prompt texts: the canonical judge prompts live in the reference's
-prompts.py (Apache-2.0, from mercurystraw/Kris_Bench); pass them via
-`prompts=` to reproduce the published operating point byte-for-byte. The
-built-in defaults implement the same rubric (1-5 scales, JSON response
-format with the exact score/reasoning keys the extractors parse).
+Prompt texts: the canonical judge prompts (reference prompts.py,
+Apache-2.0, from mercurystraw/Kris_Bench) are VENDORED under
+eval/prompts/kris/ and loaded as the defaults — no `prompts=` needed to
+reproduce the published operating point byte-for-byte (`quality` is sent
+unformatted, preserving the reference's literal {{ }} quirk). The inline
+paraphrases below remain the fallback when a vendored file is missing,
+and `prompts=` still overrides per key.
 """
 
 from __future__ import annotations
@@ -144,6 +146,14 @@ DEFAULT_PROMPTS = {
     ),
 }
 
+# canonical reference prompt bytes take precedence over the paraphrases
+try:
+    from bagel_tpu.eval.prompts import kris_defaults as _kris_canonical
+
+    DEFAULT_PROMPTS.update(_kris_canonical())
+except Exception:  # vendored data missing: paraphrases stand
+    pass
+
 
 # --- extraction (metrics_common.py:173-232) ---------------------------------
 
@@ -268,9 +278,16 @@ def evaluate_sample(
     orig_image: str,
     edit_image: str,
     prompts: Optional[Dict[str, str]] = None,
+    gt_image: Optional[str] = None,
 ) -> dict:
     """Run the category's judge calls for one edited image and return the
-    score dict (metrics_common.py evaluate_images / metrics_knowledge.py).
+    score dict, routing to the category's canonical prompt exactly like
+    the reference's five metric workers: multi-element_composition uses
+    the *_multi prompts (metrics_multi_element.py:279-301),
+    viewpoint_change uses view_instruction_following with the GT view as
+    a third judge image when provided (metrics_view_change.py:255-280),
+    knowledge categories use the dual evaluation, everything else the
+    common prompts (metrics_common.py).
 
     judge(prompt_text, image_paths) -> response text. Consistency and
     instruction calls see [original, edited]; quality sees [edited] only
@@ -278,10 +295,13 @@ def evaluate_sample(
     p = dict(DEFAULT_PROMPTS)
     if prompts:
         p.update(prompts)
+    multi = category == "multi-element_composition"
     results: dict = {}
     for m in metrics_for_category(category):
         if m == "consistency":
-            resp = judge(p["consistency"].format(instruct=instruction),
+            key = ("consistency_multi"
+                   if multi and "consistency_multi" in p else "consistency")
+            resp = judge(p[key].format(instruct=instruction),
                          [orig_image, edit_image])
             score, reason = extract_consistency(resp)
             results.update(consistency_score=score,
@@ -297,6 +317,24 @@ def evaluate_sample(
                 prompt = p["abnormal_instruction_following"].format(
                     instruct=instruction, explanation=explanation
                 )
+            elif category == "viewpoint_change" and \
+                    "view_instruction_following" in p:
+                # the view prompt judges against the ground-truth view;
+                # the GT image rides as a third judge image when the
+                # caller has one (the reference skips samples without it)
+                prompt = p["view_instruction_following"].format(
+                    instruct=instruction
+                )
+                imgs = [orig_image, edit_image] + (
+                    [gt_image] if gt_image else []
+                )
+                resp = judge(prompt, imgs)
+                score, reason = extract_instruction(resp)
+                results.update(instruction_score=score,
+                               instruction_reasoning=reason)
+                continue
+            elif multi and "instruction_multi" in p:
+                prompt = p["instruction_multi"].format(instruct=instruction)
             else:
                 prompt = p["instruction_following"].format(
                     instruct=instruction
@@ -398,6 +436,7 @@ def score_results(
     categories: Optional[Iterable[str]] = None,
     prompts: Optional[Dict[str, str]] = None,
     out_path: Optional[str] = None,
+    gt_of: Optional[Callable[[str, str], Optional[str]]] = None,
 ) -> dict:
     """End-to-end KRIS scoring: judge every (category, sample), aggregate.
 
@@ -431,6 +470,7 @@ def score_results(
                 rec = evaluate_sample(
                     judge, cat, a.get("ins_en", ""), a.get("explain_en", ""),
                     orig_of(cat, sid), image_of(cat, sid), prompts,
+                    gt_image=gt_of(cat, sid) if gt_of else None,
                 )
                 rec["id"] = sid
                 cat_out[sid] = rec

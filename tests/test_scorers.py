@@ -457,14 +457,16 @@ def test_kris_metric_routing_and_judge_calls():
     calls = []
 
     def judge(prompt, images):
+        # key off the score-key names the prompt asks for (each canonical
+        # KRIS prompt names exactly its own keys; dual names both)
         calls.append((prompt, tuple(images)))
         if "knowledge_score" in prompt:
             return '{"instruction_score": 4, "knowledge_score": 3}'
+        if "consistency_score" in prompt:
+            return '{"consistency_score": 1, "reason": "c"}'
         if "instruction_score" in prompt:
             return '{"instruction_score": 5, "reasoning": "r"}'
-        if "quality" in prompt:
-            return '{"quality_score": 2, "reasoning": "q"}'
-        return '{"consistency_score": 1, "reason": "c"}'
+        return '{"quality_score": 2, "reasoning": "q"}'
 
     out = evaluate_sample(judge, "chemistry", "make it rust", "oxidation",
                           "orig.png", "edit.png")
