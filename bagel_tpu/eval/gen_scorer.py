@@ -22,6 +22,7 @@ without one, color clauses fail closed with a clear reason.
 from __future__ import annotations
 
 import argparse
+import sys
 import importlib
 import json
 import os
@@ -108,7 +109,17 @@ def main(argv=None):
     p.add_argument("--max_objects", type=int, default=16)
     p.add_argument("--nms_threshold", type=float, default=1.0)
     args = p.parse_args(argv)
-    assert args.detector or args.detections, "need --detector or --detections"
+
+    if not args.detector and not args.detections:
+        # built-in default (eval/detectors.py): torchvision Mask R-CNN —
+        # runs end-to-end with no external env, but is score-shifted vs
+        # the reference's mmdet Mask2Former (weaker detector); absolute
+        # numbers are not comparable to the published table
+        args.detector = "bagel_tpu.eval.detectors:detect_default"
+        print("# no --detector/--detections: using the built-in "
+              "torchvision Mask R-CNN default (score-shifted vs the "
+              "reference's mmdet Mask2Former; see eval/detectors.py)",
+              file=sys.stderr)
 
     if args.detections:
         table: Dict[str, Dict] = {}
@@ -125,9 +136,11 @@ def main(argv=None):
         def detect(path):
             return _boxes_to_detections(raw_fn(path))
 
-    classify = (
-        _load_callable(args.color_classifier) if args.color_classifier else None
-    )
+    if args.color_classifier:
+        classify = _load_callable(args.color_classifier)
+    else:
+        # CLIP-free default: HSV majority vote (eval/detectors.py)
+        from bagel_tpu.eval.detectors import classify_colors_hsv as classify
     results = score_layout(
         args.outdir, detect, classify_colors=classify,
         threshold=args.threshold, counting_threshold=args.counting_threshold,

@@ -1,6 +1,7 @@
 #!/usr/bin/env bash
-# GenEval image generation. Output uses the official layout; score with the
-# upstream mmdet-based evaluator afterwards.
+# GenEval image generation. Output uses the official layout; score with
+# scripts/eval/score_geneval.sh (built-in detector, no external env) or the
+# upstream mmdet-based evaluator for the published operating point.
 set -euo pipefail
 CKPT=${1:?checkpoint dir}
 METADATA=${2:?geneval evaluation_metadata.jsonl}
