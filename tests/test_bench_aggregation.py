@@ -15,26 +15,48 @@ import pytest
 import bench
 
 
-def run_main_with_fake_spawn(monkeypatch, capsys, results):
-    """results: dict (mode, depth, dtype) -> child dict or None."""
+def run_main_with_fake_spawn(monkeypatch, capsys, results, statuses=None,
+                             argv=()):
+    """results: dict (mode, depth, dtype) -> child dict or None.
+    statuses: optional same-keyed dict of spawn statuses; a popped-empty
+    list value lets a test simulate stall-then-recover sequences."""
+    calls = []
 
     def fake_spawn(mode, depth, dtype, image, steps, schedule, timeout,
-                   slots=8):
-        return results.get((mode, depth, dtype))
+                   slots=8, ts=(3, 5), canary_watch=False):
+        calls.append((mode, depth, dtype, ts, canary_watch))
+        key = (mode, depth, dtype)
+        st = (statuses or {}).get(key)
+        if isinstance(st, list):
+            st = st.pop(0) if st else "ok"
+        r = results.get(key)
+        if st is None:
+            st = "ok" if r else "failed"
+        return (r if st in ("ok", "timeout") else None), st
 
     class FakeDev:
         platform = "tpu"
 
     monkeypatch.setattr(bench, "_spawn", fake_spawn)
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    import os as _os
+
+    import bagel_tpu.utils.tpulock as tpulock
+
+    monkeypatch.setattr(tpulock, "LOCK_PATH",
+                        f"/tmp/bagel_tpu_test_{_os.getpid()}.lock")
     import jax
 
     monkeypatch.setattr(jax, "devices", lambda: [FakeDev()])
-    monkeypatch.setattr("sys.argv", ["bench.py", "--preset", "full"])
+    monkeypatch.setattr("sys.argv", ["bench.py", "--preset", "full", *argv])
+    bench.LIVE_STATE.clear()
     bench.main()
     out = capsys.readouterr().out.strip().splitlines()
     payload = [l for l in out if l.startswith("{")]
     assert len(payload) == 1, out  # exactly ONE JSON line
-    return json.loads(payload[-1])
+    res = json.loads(payload[-1])
+    res["_spawn_calls"] = calls
+    return res
 
 
 def test_headline_prefers_measured_quant_when_faster(monkeypatch, capsys):
@@ -233,3 +255,147 @@ def test_specdec_detail_and_parser(monkeypatch, capsys):
     assert sd["spec_tok_per_s"] == 412.5
     assert sd["speedup"] == pytest.approx(4.34, abs=0.01)
     assert sd["greedy_exact"] is True
+
+
+def test_canary_stall_retries_main_once(monkeypatch, capsys):
+    """A wedged chip (no CANARY within the grace window / child exit 3)
+    triggers exactly ONE main retry after the wedge-recovery wait; the
+    retry's results are used and the wedge is recorded in detail."""
+    res = run_main_with_fake_spawn(
+        monkeypatch, capsys,
+        {("main", 28, "w8a8"): {"elapsed": 17.0, "canary_s": 61.0,
+                                "elapsed8": 6.2}},
+        statuses={("main", 28, "w8a8"): ["canary_stall", "ok"]},
+    )
+    mains = [c for c in res["_spawn_calls"] if c[0] == "main"]
+    assert len(mains) == 2
+    assert res["value"] == round(1 / 17.0, 5)
+    assert res["detail"]["chip_wedge_retry"] is True
+    assert res["detail"]["canary_first_dispatch_s"] == 61.0
+
+
+def test_elapsed8_is_fallback_headline(monkeypatch, capsys):
+    """The in-child cheap bf16 depth-8 artifact (ELAPSED8) becomes the
+    extrapolated headline when the full-depth w8a8 phase never landed —
+    WITHOUT spawning a separate bf16 fallback child."""
+    res = run_main_with_fake_spawn(
+        monkeypatch, capsys,
+        {("main", 28, "w8a8"): {"elapsed8": 9.71, "canary_s": 60.0,
+                                "decode": 95.4}},
+        statuses={("main", 28, "w8a8"): "timeout"},
+    )
+    assert res["value"] == round(8 / (9.71 * 28), 5)
+    assert "extrapolated" in res["detail"]["headline_basis"]
+    assert ("denoise", 8, "bf16") not in [
+        c[:3] for c in res["_spawn_calls"]
+    ]
+
+
+def test_failed_gate_demotes_headline_to_parity_point(monkeypatch, capsys):
+    """When the headline schedule FAILS the fidelity gate, the measured
+    (3,5) parity point takes the headline."""
+    res = run_main_with_fake_spawn(
+        monkeypatch, capsys,
+        {("main", 28, "w8a8"): {
+            "elapsed": 12.0,
+            "detail": {"taylorseer_threshold": 5,
+                       "taylorseer_first_enhance": 5},
+            "parity_point": {"taylorseer_threshold": 3,
+                             "taylorseer_first_enhance": 5,
+                             "s_img": 17.1},
+            "fidelity": {"denoise": {"latent_rel_mae": 0.02,
+                                     "rel_mae_gate_1e-2": False}},
+        }},
+    )
+    assert res["value"] == round(1 / 17.1, 5)
+    assert "TaylorSeer (3,5)" in res["detail"]["headline_basis"]
+
+
+def test_passing_gate_keeps_headline_and_reports_parity(monkeypatch, capsys):
+    fid = {"denoise": {"latent_rel_mae": 0.0052, "rel_mae_gate_1e-2": True,
+                       "comparison_live": True}}
+    res = run_main_with_fake_spawn(
+        monkeypatch, capsys,
+        {("main", 28, "w8a8"): {
+            "elapsed": 12.0, "elapsed_runs": [12.1, 12.0],
+            "detail": {"taylorseer_threshold": 5,
+                       "taylorseer_first_enhance": 5,
+                       "full_forwards_on": 9, "full_forwards_off": 4,
+                       "steps_cfg_on": 29, "steps_cfg_off": 21},
+            "parity_point": {"taylorseer_threshold": 3,
+                             "taylorseer_first_enhance": 5, "s_img": 17.1},
+            "fidelity": fid,
+        }},
+    )
+    assert res["value"] == round(1 / 12.0, 5)
+    assert "TaylorSeer (5,5)" in res["detail"]["headline_basis"]
+    pp = res["detail"]["w8a8_parity_schedule_point"]
+    assert pp["img_per_s"] == round(1 / 17.1, 5)
+    assert res["detail"]["fidelity"] == fid
+    # main child is asked for the (5,5) headline schedule by default
+    mains = [c for c in res["_spawn_calls"] if c[0] == "main"]
+    assert mains[0][3] == (5, 5) and mains[0][4] is True
+
+
+def test_serve_ttft_passthrough(monkeypatch, capsys):
+    res = run_main_with_fake_spawn(
+        monkeypatch, capsys,
+        {("main", 28, "w8a8"): {
+            "elapsed": 17.0,
+            "serve_tok_s": 410.2, "serve_tokens": 1024,
+            "serve_elapsed": 2.5, "serve_slots": 12,
+            "serve_ttft_ms_p50": 812.5,
+            "serveq_tok_s": 600.0, "serveq_tokens": 2048,
+            "serveq_elapsed": 3.4, "serveq_slots": 24,
+            "serveq_ttft_ms_p50": 1200.0,
+        }},
+    )
+    assert res["detail"]["serving_runtime_aggregate_decode"][
+        "prefill_ms_p50"] == 812.5
+    assert res["detail"]["serving_runtime_aggregate_decode_kv_int8"][
+        "prefill_ms_p50"] == 1200.0
+
+
+def test_parser_new_lines():
+    parsed = bench._parse_child_stdout(
+        "CANARY 61.3\n"
+        "ELAPSED8 9.71\n"
+        "ELAPSED 12.1 12.0\n"
+        'PARITYPT {"taylorseer_threshold": 3, "s_img": 17.1}\n'
+        "SERVE 410.2 1024 2.5 12 812.5\n"
+        "SERVEQ 600.0 2048 3.4 24 1200.0\n"
+    )
+    assert parsed["canary_s"] == 61.3
+    assert parsed["elapsed8"] == 9.71
+    assert parsed["elapsed"] == 12.05
+    assert parsed["parity_point"]["s_img"] == 17.1
+    assert parsed["serve_ttft_ms_p50"] == 812.5
+    assert parsed["serveq_ttft_ms_p50"] == 1200.0
+    # old 5-field SERVE lines still parse (no ttft)
+    old = bench._parse_child_stdout("SERVE 410.2 1024 2.5 12\n")
+    assert old["serve_tok_s"] == 410.2
+    assert "serve_ttft_ms_p50" not in old
+
+
+def test_parser_incremental_live_merge():
+    """Line-by-line merging (the signal-time LIVE_STATE path) must match
+    whole-blob parsing, incl. TRAINPT dedup when a line is re-seen."""
+    blob = (
+        "CANARY 60.0\nELAPSED8 9.7\n"
+        'TRAINPT {"depth": 4, "variant": "full_grad", "step_s": 0.8, '
+        '"tokens": 4352}\n'
+        "ELAPSED 12.0\n"
+    )
+    whole = bench._parse_child_stdout(blob)
+    inc = {}
+    for line in blob.splitlines():
+        bench._parse_child_stdout(line, inc)
+        bench._parse_child_stdout(line, inc)  # duplicate delivery
+    assert inc == whole
+
+
+def test_bench_failed_carries_diagnostics(monkeypatch, capsys):
+    res = run_main_with_fake_spawn(monkeypatch, capsys, {})
+    assert res["metric"] == "bench_failed"
+    assert "canary_s" in res["detail"]
+    assert "note" in res["detail"]
