@@ -1,9 +1,12 @@
 """Tokenizer plumbing.
 
-Real checkpoints use the HF Qwen2 BPE tokenizer (the reference vendors it at
-modeling/qwen2/tokenization_qwen2*.py; we load via `transformers`). The
-special-token registration mirrors data_utils.add_special_tokens:130-165.
-Tests use MockTokenizer (no files needed).
+Real checkpoints use the Qwen2 byte-level BPE tokenizer (the reference
+vendors HF code at modeling/qwen2/tokenization_qwen2*.py); this framework
+loads it with the NATIVE from-scratch implementation in data/bpe.py — no
+`transformers` dependency on the data path (exact token-id parity is
+pinned by tests/test_tokenizer.py). The special-token registration
+mirrors data_utils.add_special_tokens:130-165. Tests use MockTokenizer
+(no files needed).
 """
 
 from __future__ import annotations
@@ -33,11 +36,11 @@ def add_special_tokens(tokenizer) -> Tuple[object, dict, int]:
 
 
 def load_tokenizer(path: str):
-    """Load the HF Qwen2 tokenizer from a checkpoint dir and register the
-    BAGEL special tokens."""
-    from transformers import AutoTokenizer
+    """Load the Qwen2 BPE tokenizer from a checkpoint dir with the native
+    implementation (data/bpe.py) and register the BAGEL special tokens."""
+    from bagel_tpu.data.bpe import ByteBPETokenizer
 
-    tokenizer = AutoTokenizer.from_pretrained(path)
+    tokenizer = ByteBPETokenizer.from_checkpoint(path)
     return add_special_tokens(tokenizer)
 
 

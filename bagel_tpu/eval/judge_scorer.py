@@ -14,7 +14,7 @@ Usage:
       --judge my_judges:gpt4o --out results/kris/scores
   python -m bagel_tpu.eval.judge_scorer rise \
       --data data.json --results_dir results/rise --input_dir data \
-      --prompts prompts.json --judge my_judges:gpt4o
+      --judge my_judges:gpt4o   # canonical prompts by default
   python -m bagel_tpu.eval.judge_scorer imgedit \
       --edit_json basic_edit.json --results_dir results/imgedit \
       --origin_root imgs --prompts prompts.json --judge my_judges:gpt4o

@@ -1473,9 +1473,19 @@ def main():
         return
 
     _honor_platform_env()
-    import jax
+    # The parent NEVER initializes a JAX client on the TPU path: this
+    # host's chip is single-tenant and even device enumeration opens a
+    # client session — a wedged tunnel then hangs the PARENT before any
+    # child (and its watchdogged canary) can run, which is unrecoverable
+    # (observed r5: 17+ min stuck in jax.devices()). Platform is decided
+    # from the env; only the CPU/tiny path imports jax in-process.
+    want_cpu = (args.preset == "tiny"
+                or os.environ.get("JAX_PLATFORMS", "").startswith("cpu"))
+    platform = "cpu" if want_cpu else "tpu"
+    if want_cpu:
+        import jax
 
-    platform = jax.devices()[0].platform
+        platform = jax.devices()[0].platform
     if args.preset == "tiny" or (args.preset == "auto" and platform == "cpu"):
         # CPU-feasible shapes: full width but depth 2, 64 latent tokens
         image, steps = args.image or 128, args.steps or 6
