@@ -1618,11 +1618,14 @@ def main():
         r, status = _spawn("main", FULL_DEPTH, "w8a8", image, steps,
                            args.schedule, timeout=main_cap, slots=12,
                            ts=ts_head, canary_watch=True)
-        if status == "canary_stall" and _remaining() > 420:
-            # single-tenant wedge clears ~5 min after the offender exits
+        while status == "canary_stall" and _remaining() > 420:
+            # single-tenant wedge clears ~5 min after the offender exits;
+            # keep retrying while the budget still covers a useful attempt
+            # (a stalled attempt only costs its canary grace, so several
+            # retries fit where one full main run would)
             wait_s = min(300.0, _remaining() - 360.0)
             print(f"# chip wedged; waiting {wait_s:.0f}s for recovery, "
-                  "then retrying main once", file=sys.stderr)
+                  "then retrying main", file=sys.stderr)
             wedge_retry = True
             time.sleep(wait_s)
             r, status = _spawn("main", FULL_DEPTH, "w8a8", image, steps,
