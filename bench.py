@@ -1319,6 +1319,45 @@ def _parse_child_stdout(stdout: str, out: dict = None) -> dict:
     return out
 
 
+def build_partial_result(state: dict, image: int, steps: int,
+                         signum: int = 0) -> dict:
+    """Best-available result from live-parsed child lines — what the
+    SIGTERM/SIGINT handler emits so a forced kill of the parent at any
+    instant after the first measured artifact still records a number."""
+    det = {"partial_signal_exit": True,
+           "signal": int(signum),
+           "bench_wall_s": round(time.monotonic() - _T0, 1)}
+    img_per_s = 0.0
+    if state.get("elapsed"):
+        img_per_s = 1.0 / state["elapsed"]
+        det["headline_basis"] = (
+            "w8a8 full-depth measured (signal-time partial)"
+        )
+        det["measured_s"] = round(state["elapsed"], 3)
+        det.update(state.get("detail", {}))
+    elif state.get("elapsed8"):
+        img_per_s = 1.0 / (state["elapsed8"] * FULL_DEPTH / 8.0)
+        det["headline_basis"] = (
+            "bf16 depth-8 extrapolated to 28 layers (signal-time partial)"
+        )
+        det["measured_s"] = round(state["elapsed8"], 3)
+    for k in ("decode", "fidelity", "train_points", "dispatch_floor_ms",
+              "canary_s", "parity_point", "serve_tok_s", "serveq_tok_s",
+              "serve_ttft_ms_p50"):
+        if k in state:
+            det[k] = state[k]
+    if img_per_s > 0:
+        return {
+            "metric": f"{image}px_{steps}step_cfg_t2i_denoise_throughput",
+            "value": round(img_per_s, 5),
+            "unit": "img/s/chip",
+            "vs_baseline": round(img_per_s / 2.0, 5),
+            "detail": det,
+        }
+    return {"metric": "bench_failed", "value": 0, "unit": "",
+            "vs_baseline": 0, "detail": det}
+
+
 # live-parsed child results, merged line-by-line as children print them:
 # the SIGTERM/SIGINT handler emits a result built from this, so a
 # forced-kill of the PARENT at any instant still yields every number a
@@ -1565,43 +1604,8 @@ def main():
         import signal as _signal
 
         def _emit_from_live(signum, frame):
-            st = dict(LIVE_STATE)
-            det = {"partial_signal_exit": True,
-                   "signal": int(signum),
-                   "bench_wall_s": round(time.monotonic() - _T0, 1)}
-            img_per_s = 0.0
-            if st.get("elapsed"):
-                img_per_s = 1.0 / st["elapsed"]
-                det["headline_basis"] = (
-                    "w8a8 full-depth measured (signal-time partial)"
-                )
-                det["measured_s"] = round(st["elapsed"], 3)
-                det.update(st.get("detail", {}))
-            elif st.get("elapsed8"):
-                img_per_s = 1.0 / (st["elapsed8"] * FULL_DEPTH / 8.0)
-                det["headline_basis"] = (
-                    "bf16 depth-8 extrapolated to 28 layers "
-                    "(signal-time partial)"
-                )
-                det["measured_s"] = round(st["elapsed8"], 3)
-            for k in ("decode", "fidelity", "train_points",
-                      "dispatch_floor_ms", "canary_s", "parity_point",
-                      "serve_tok_s", "serveq_tok_s", "serve_ttft_ms_p50"):
-                if k in st:
-                    det[k] = st[k]
-            if img_per_s > 0:
-                print(json.dumps({
-                    "metric": f"{image}px_{steps}step_cfg_t2i_denoise_"
-                              "throughput",
-                    "value": round(img_per_s, 5),
-                    "unit": "img/s/chip",
-                    "vs_baseline": round(img_per_s / 2.0, 5),
-                    "detail": det,
-                }), flush=True)
-            else:
-                print(json.dumps({"metric": "bench_failed", "value": 0,
-                                  "unit": "", "vs_baseline": 0,
-                                  "detail": det}), flush=True)
+            print(json.dumps(build_partial_result(
+                dict(LIVE_STATE), image, steps, signum)), flush=True)
             os._exit(0)
 
         for _sig in (_signal.SIGTERM, _signal.SIGINT):

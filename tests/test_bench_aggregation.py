@@ -8,6 +8,7 @@ metrics.
 """
 
 import json
+import os
 
 import numpy as np
 import pytest
@@ -399,3 +400,78 @@ def test_bench_failed_carries_diagnostics(monkeypatch, capsys):
     assert res["metric"] == "bench_failed"
     assert "canary_s" in res["detail"]
     assert "note" in res["detail"]
+
+
+def test_signal_time_partial_result():
+    """The SIGTERM emitter's builder yields a measured headline from
+    whatever the children had printed (the forced-kill done-criterion)."""
+    # mid-run: only the cheap artifact landed
+    st = bench._parse_child_stdout("CANARY 61.0\nELAPSED8 9.71\nFLOOR 30.1\n")
+    res = bench.build_partial_result(st, 1024, 50, signum=15)
+    assert res["metric"].endswith("denoise_throughput")
+    assert res["value"] == round(8 / (9.71 * 28), 5)
+    assert res["detail"]["partial_signal_exit"] is True
+    assert res["detail"]["canary_s"] == 61.0
+
+    # later: the w8a8 headline landed too — it wins
+    bench._parse_child_stdout("ELAPSED 12.1 12.0\nDECODE 95.4\n", st)
+    res = bench.build_partial_result(st, 1024, 50, signum=15)
+    assert res["value"] == round(1 / 12.05, 5)
+    assert res["detail"]["decode"] == 95.4
+
+    # nothing measured yet: explicit failure with diagnostics
+    res = bench.build_partial_result({"canary_s": 61.0}, 1024, 50)
+    assert res["metric"] == "bench_failed"
+    assert res["detail"]["canary_s"] == 61.0
+
+
+def test_sigterm_emits_partial_json_in_real_process(tmp_path):
+    """End-to-end forced-kill: a real `bench.py` parent (full path, fake
+    children via env hook is impossible cross-process, so we emulate the
+    slow phase with a stub child command) prints ONE JSON line when
+    SIGTERM'd mid-run."""
+    import signal
+    import subprocess
+    import sys
+    import time as _time
+
+    # a stub bench child: prints the cheap artifact then sleeps forever —
+    # exactly a main child stuck in the heavy compile
+    stub = tmp_path / "stub_bench.py"
+    stub.write_text(
+        "import sys, time\n"
+        "print('CANARY 5.0', flush=True)\n"
+        "print('ELAPSED8 9.71', flush=True)\n"
+        "time.sleep(90)\n"
+    )
+    code = (
+        "import sys, types\n"
+        "sys.argv = ['bench.py', '--preset', 'full']\n"
+        "import bench\n"
+        # route _spawn's child command through the stub
+        "real = bench._spawn\n"
+        "def spawn(mode, depth, dtype, image, steps, schedule, timeout,\n"
+        "          slots=8, ts=(3,5), canary_watch=False):\n"
+        f"    bench.__file__ = {str(stub)!r}\n"
+        "    return real(mode, depth, dtype, image, steps, schedule,\n"
+        "                timeout, slots, ts, canary_watch)\n"
+        "bench._spawn = spawn\n"
+        "bench.main()\n"
+    )
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)  # full path, no jax init in parent
+    env["BAGEL_TPU_LOCK"] = str(tmp_path / "tpu.lock")
+    proc = subprocess.Popen([sys.executable, "-c", code],
+                            stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                            text=True, cwd=os.path.dirname(bench.__file__),
+                            env=env)
+    # wait until the stub's artifact reaches LIVE_STATE (the child prints
+    # within a second; give the parent time to spawn + parse)
+    _time.sleep(20)
+    proc.send_signal(signal.SIGTERM)
+    out, err = proc.communicate(timeout=60)
+    payload = [l for l in out.strip().splitlines() if l.startswith("{")]
+    assert len(payload) == 1, (out, err[-500:])
+    res = json.loads(payload[0])
+    assert res["detail"].get("partial_signal_exit") is True
+    assert res["value"] == round(8 / (9.71 * 28), 5), res
