@@ -1043,9 +1043,15 @@ def run_serving_bench(depth: int, dtype_name: str, slots: int = 8,
 
 def _child_main(args):
     """One or more attempts in a fresh process. Results print (flushed) as
-    they land so the parent can harvest partial output at its deadline."""
+    they land so the parent can harvest partial output at its deadline.
+    EVERY mode starts with the watchdogged canary: on a wedged chip the
+    child exits 3 within the canary deadline instead of silently burning
+    its whole cap (the r4 failure mode)."""
     _honor_platform_env()
     _enable_compile_cache()
+    canary_s = run_canary(float(os.environ.get("BAGEL_BENCH_CANARY_S",
+                                               "150")))  # exit 3 on stall
+    print(f"CANARY {canary_s:.1f}", flush=True)
     if args.mode == "decode":
         tok_s = run_decode_bench(args.depth, args.dtype)
         print(f"DECODE {tok_s}", flush=True)
@@ -1103,9 +1109,6 @@ def _child_main(args):
         def left():
             return child_budget - (time.monotonic() - child_t0)
 
-        canary_s = run_canary(float(os.environ.get(
-            "BAGEL_BENCH_CANARY_S", "150")))  # exit 3 on stall
-        print(f"CANARY {canary_s:.1f}", flush=True)
         try:
             floor_ms = measure_dispatch_floor()
             print(f"FLOOR {floor_ms}", flush=True)
@@ -1366,7 +1369,7 @@ LIVE_STATE: dict = {}
 
 
 def _spawn(mode, depth, dtype, image, steps, schedule, timeout, slots=8,
-           ts=(3, 5), canary_watch=False):
+           ts=(3, 5), canary_watch=True):
     """Run one child attempt, STREAMING its stdout: every printed result
     line merges into LIVE_STATE immediately (signal-time emission) and the
     child is killed at its deadline with all finished phases harvested.
