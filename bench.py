@@ -28,6 +28,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -1106,8 +1107,15 @@ def _child_main(args):
         child_budget = float(os.environ.get("BAGEL_BENCH_CHILD_BUDGET_S",
                                             "1e9"))
 
-        def left():
-            return child_budget - (time.monotonic() - child_t0)
+        def left(phase: str = None):
+            """Remaining child budget; with `phase`, also print a
+            breadcrumb so a budget-skip is distinguishable from a phase
+            failure in the parent-relayed stderr."""
+            rem = child_budget - (time.monotonic() - child_t0)
+            if phase is not None:
+                print(f"# phase {phase}: left={rem:.0f}s", file=sys.stderr,
+                      flush=True)
+            return rem
 
         try:
             floor_ms = measure_dispatch_floor()
@@ -1151,7 +1159,7 @@ def _child_main(args):
             print(f"# main decode failed: {e!r}", file=sys.stderr, flush=True)
         gc.collect()
         fid = {}
-        if left() > 240:
+        if left("fidelity") > 240:
             try:
                 # the gate licenses the HEADLINE schedule specifically
                 fid["denoise"] = run_fidelity_denoise(
@@ -1167,7 +1175,7 @@ def _child_main(args):
         # first train point EARLY (VERDICT r4 next #7: no train point has
         # ever survived to a recorded bench): depth 4 full-grad
         train_plan = [(4, False), (2, False), (8, True)]
-        if left() > 180:
+        if left("train") > 180:
             tdepth, fz = train_plan.pop(0)
             try:
                 step_s, tokens = run_train_bench(tdepth, "bf16",
@@ -1183,7 +1191,7 @@ def _child_main(args):
                 print(f"# train d{tdepth} failed: {e!r}", file=sys.stderr,
                       flush=True)
             gc.collect()
-        if left() > 200:
+        if left("serve") > 200:
             try:
                 tok_s, total, elapsed, ttft = run_serving_bench(
                     FULL_DEPTH, "w8a8", slots=args.slots
@@ -1194,7 +1202,7 @@ def _child_main(args):
                 print(f"# main serve failed: {e!r}", file=sys.stderr,
                       flush=True)
             gc.collect()
-        if left() > 160:
+        if left("serveq") > 160:
             try:
                 # int8 KV cache: half the cache HBM unlocks 2x the slot
                 # count that OOMed at bf16 (16/24 -> RESOURCE_EXHAUSTED)
@@ -1208,7 +1216,7 @@ def _child_main(args):
                 print(f"# main serve kv_quant failed: {e!r}",
                       file=sys.stderr, flush=True)
             gc.collect()
-        if left() > 200 and "denoise" not in fid:
+        if left("fidelity-retry") > 200 and "denoise" not in fid:
             try:
                 # budget-deferred fidelity retry (still gates the headline)
                 fid["denoise"] = run_fidelity_denoise(
@@ -1224,7 +1232,7 @@ def _child_main(args):
         # remaining train points: depth 2 full-grad (affine depth fit),
         # depth 8 und-frozen (deepest single-chip step; full-grad OOMs)
         for tdepth, fz in train_plan:
-            if left() < 160:
+            if left("train-extra") < 160:
                 break
             try:
                 step_s, tokens = run_train_bench(tdepth, "bf16",
@@ -1241,7 +1249,7 @@ def _child_main(args):
                 print(f"# train d{tdepth} failed: {e!r}", file=sys.stderr,
                       flush=True)
             gc.collect()
-        if left() > 150:
+        if left("fidelity-decode") > 150:
             try:
                 fid["decode"] = run_fidelity_decode(4)
                 print(f"FIDELITY {json.dumps(fid)}", flush=True)
@@ -1249,7 +1257,7 @@ def _child_main(args):
                 print(f"# fidelity decode failed: {e!r}", file=sys.stderr,
                       flush=True)
             gc.collect()
-        if left() > 90:
+        if left("specdec") > 90:
             try:
                 # speculative decode at full draft acceptance (oracle
                 # replay): upper bracket of the serving win
@@ -1441,6 +1449,16 @@ def _spawn(mode, depth, dtype, image, steps, schedule, timeout, slots=8,
     t_err.join(timeout=10)
     if status == "ok" and proc.returncode == 3:
         status = "canary_stall"
+
+    # phase-failure lines ('# <phase> failed: ...') must survive into the
+    # parent's stderr (and the driver's recorded tail): a silently-dropped
+    # child stderr is how the r5 rehearsal lost fidelity+serving with no
+    # visible cause
+    relayed = 0
+    for ln in errs:
+        if ln.startswith("#") and relayed < 20:
+            print(f"# [{mode}] {ln.lstrip('# ')}", file=sys.stderr)
+            relayed += 1
 
     out = _parse_child_stdout("\n".join(lines))
     if not out:

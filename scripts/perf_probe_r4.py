@@ -38,6 +38,9 @@ def main():
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--j2", action="store_true")
     ap.add_argument("--skip_sweep", action="store_true")
+    ap.add_argument("--points", default=None,
+                    help="sweep points as 'thr:fe,thr:fe,...' "
+                    "(default: 2:5,3:5,4:5,5:5,6:5,3:3)")
     ap.add_argument("--save_latent", default=None,
                     help="save the PROD final latent to this .npy")
     ap.add_argument("--ref_latent", default=None,
@@ -96,10 +99,12 @@ def main():
         ref_scale = float(np.abs(lat_ref).mean()) or 1.0
         print(f"SWEEP all_full {t_full[0]:.3f}s (quality reference)",
               flush=True)
-        for fe in (5, 3):
-            for thr in (2, 3, 4, 5, 6):
-                if fe == 3 and thr != 3:
-                    continue  # one first_enhance variant is enough
+        if args.points:
+            points = [tuple(int(v) for v in p.split(":"))
+                      for p in args.points.split(",")]
+        else:
+            points = [(t, 5) for t in (2, 3, 4, 5, 6)] + [(3, 3)]
+        for thr, fe in points:
                 run_s, det_s = bench_mod._production_run_fn(
                     cfg, cache, x0, lat_pos, boundary, rope, args.steps,
                     fresh_threshold=thr, first_enhance=fe,
