@@ -24,9 +24,9 @@ def run_main_with_fake_spawn(monkeypatch, capsys, results, statuses=None,
     calls = []
 
     def fake_spawn(mode, depth, dtype, image, steps, schedule, timeout,
-                   slots=8, ts=(3, 5), canary_watch=False):
+                   slots=8, ts=(3, 5), canary_watch=False, kv_quant=False):
         calls.append((mode, depth, dtype, ts, canary_watch))
-        key = (mode, depth, dtype)
+        key = (mode + "q" if kv_quant else mode, depth, dtype)
         st = (statuses or {}).get(key)
         if isinstance(st, list):
             st = st.pop(0) if st else "ok"
@@ -336,6 +336,47 @@ def test_passing_gate_keeps_headline_and_reports_parity(monkeypatch, capsys):
     # main child is asked for the (5,5) headline schedule by default
     mains = [c for c in res["_spawn_calls"] if c[0] == "main"]
     assert mains[0][3] == (5, 5) and mains[0][4] is True
+
+
+def test_ratcheted_main_child_fills_core_fields_via_fallbacks(
+        monkeypatch, capsys):
+    """The HBM-ratchet scenario (r5 session 2, measured twice on chip):
+    the main child lands denoise+decode then cedes; the parent must fill
+    the missing CORE fields (fidelity gate, train point, serve, serveq)
+    from per-phase fallback children, in that priority order, before any
+    optional extras."""
+    fid = {"denoise": {"latent_rel_mae": 0.006, "rel_mae_gate_1e-2": True,
+                       "comparison_live": True}}
+    res = run_main_with_fake_spawn(
+        monkeypatch, capsys,
+        {
+            ("main", 28, "w8a8"): {"elapsed": 12.0, "decode": 96.0,
+                                   "elapsed8": 4.6},
+            ("fidelity", 8, "w8a8"): {"fidelity": fid},
+            ("train", 4, "bf16"): {"train_points": [
+                {"depth": 4, "variant": "full_grad", "step_s": 0.99,
+                 "tokens": 4352}]},
+            ("serve", 28, "w8a8"): {
+                "serve_tok_s": 430.0, "serve_tokens": 1536,
+                "serve_elapsed": 3.5, "serve_slots": 12,
+                "serve_ttft_ms_p50": 210.0},
+            ("serveq", 28, "w8a8"): {
+                "serveq_tok_s": 610.0, "serveq_tokens": 3072,
+                "serveq_elapsed": 5.0, "serveq_slots": 24,
+                "serveq_ttft_ms_p50": 260.0},
+            ("decode", 8, "bf16"): {"decode": 146.0},
+            ("decode", 4, "bf16"): {"decode": 234.0},
+        },
+    )
+    d = res["detail"]
+    assert d["fidelity"] == fid
+    assert d["train_fwd_bwd"]["points"][0]["depth"] == 4
+    assert d["serving_runtime_aggregate_decode"]["aggregate_tok_per_s"] == 430.0
+    assert (d["serving_runtime_aggregate_decode_kv_int8"]
+            ["aggregate_tok_per_s"] == 610.0)
+    modes = [c[0] for c in res["_spawn_calls"]]
+    # core fallbacks run before optional extras, highest priority first
+    assert modes[:5] == ["main", "fidelity", "train", "serve", "serve"]
 
 
 def test_serve_ttft_passthrough(monkeypatch, capsys):
