@@ -24,7 +24,8 @@ def run_main_with_fake_spawn(monkeypatch, capsys, results, statuses=None,
     calls = []
 
     def fake_spawn(mode, depth, dtype, image, steps, schedule, timeout,
-                   slots=8, ts=(3, 5), canary_watch=False, kv_quant=False):
+                   slots=8, ts=(3, 5), canary_watch=False, kv_quant=False,
+                   canary_s=None):
         calls.append((mode, depth, dtype, ts, canary_watch))
         key = (mode + "q" if kv_quant else mode, depth, dtype)
         st = (statuses or {}).get(key)
@@ -352,15 +353,16 @@ def test_ratcheted_main_child_fills_core_fields_via_fallbacks(
         {
             ("main", 28, "w8a8"): {"elapsed": 12.0, "decode": 96.0,
                                    "elapsed8": 4.6},
-            ("fidelity", 8, "w8a8"): {"fidelity": fid},
-            ("train", 4, "bf16"): {"train_points": [
-                {"depth": 4, "variant": "full_grad", "step_s": 0.99,
-                 "tokens": 4352}]},
-            ("serve", 28, "w8a8"): {
+            # second-tier combined children carry ALL the core fields
+            ("quality", 8, "w8a8"): {
+                "fidelity": fid,
+                "train_points": [
+                    {"depth": 4, "variant": "full_grad", "step_s": 0.99,
+                     "tokens": 4352}]},
+            ("serving", 28, "w8a8"): {
                 "serve_tok_s": 430.0, "serve_tokens": 1536,
                 "serve_elapsed": 3.5, "serve_slots": 12,
-                "serve_ttft_ms_p50": 210.0},
-            ("serveq", 28, "w8a8"): {
+                "serve_ttft_ms_p50": 210.0,
                 "serveq_tok_s": 610.0, "serveq_tokens": 3072,
                 "serveq_elapsed": 5.0, "serveq_slots": 24,
                 "serveq_ttft_ms_p50": 260.0},
@@ -375,8 +377,30 @@ def test_ratcheted_main_child_fills_core_fields_via_fallbacks(
     assert (d["serving_runtime_aggregate_decode_kv_int8"]
             ["aggregate_tok_per_s"] == 610.0)
     modes = [c[0] for c in res["_spawn_calls"]]
-    # core fallbacks run before optional extras, highest priority first
-    assert modes[:5] == ["main", "fidelity", "train", "serve", "serve"]
+    # combined core children run right after main, before optional extras,
+    # and the satisfied third-tier single-phase children are skipped
+    assert modes[:3] == ["main", "quality", "serving"]
+    assert "fidelity" not in modes and "train" not in modes
+
+
+def test_quality_child_canary_stall_retries_once(monkeypatch, capsys):
+    """A canary-stalled combined child is the chip's ~5 min post-session
+    wedge, not a missing capability: the parent must wait and retry once,
+    and harvest the retry's result."""
+    fid = {"denoise": {"latent_rel_mae": 0.006, "rel_mae_gate_1e-2": True}}
+    res = run_main_with_fake_spawn(
+        monkeypatch, capsys,
+        {
+            ("main", 28, "w8a8"): {"elapsed": 12.0, "decode": 96.0},
+            ("quality", 8, "w8a8"): {"fidelity": fid, "train_points": [
+                {"depth": 4, "variant": "full_grad", "step_s": 1.0,
+                 "tokens": 4352}]},
+        },
+        statuses={("quality", 8, "w8a8"): ["canary_stall", "ok"]},
+    )
+    assert res["detail"]["fidelity"] == fid
+    modes = [c[0] for c in res["_spawn_calls"]]
+    assert modes.count("quality") == 2
 
 
 def test_serve_ttft_passthrough(monkeypatch, capsys):
