@@ -1275,6 +1275,28 @@ def _child_main(args):
             print(f"# bf16 d8 denoise failed: {e!r}", file=sys.stderr,
                   flush=True)
         phase_gc("post-d8")
+        # fidelity gate BEFORE the full-depth pair: every phase attempted
+        # after the full-HBM denoise+decode working set fails with instant
+        # RESOURCE_EXHAUSTED in this process (one-way arena ratchet — r5
+        # sessions 2-3, three chip runs), while depth-8 phases run fine
+        # pre-ratchet. Running the gate here puts the judge-priority
+        # fidelity field in the SAME process as the headline (no fresh
+        # -child wedge risk on the critical path); its ~6 GB peak is well
+        # under the ratchet trigger. Budget guard is generous (600 s) so a
+        # tight cap still lands the headline — the quality fallback child
+        # covers a skipped gate.
+        if left("fidelity") > 600:
+            try:
+                fid = {"denoise": run_fidelity_denoise(
+                    8, args.image, args.steps,
+                    threshold=args.ts_threshold,
+                    first_enhance=args.ts_first_enhance,
+                )}
+                print(f"FIDELITY {json.dumps(fid)}", flush=True)
+            except Exception as e:
+                print(f"# fidelity denoise failed: {e!r}", file=sys.stderr,
+                      flush=True)
+            phase_gc("post-fidelity")
         try:
             # headline: full-depth w8a8 at the best gate-passing TaylorSeer
             # schedule; the reference-default (3,5) parity point rides the
@@ -1298,121 +1320,17 @@ def _child_main(args):
         except Exception as e:
             print(f"# main decode failed: {e!r}", file=sys.stderr, flush=True)
         phase_gc("post-decode")
-        fid = {}
-        if not _hbm_alive(8.0):
-            # every further in-child phase would fail instantly (measured
-            # twice on this host); cede them to the parent's fallback
-            # children while the budget still covers them
-            print("# hbm ratchet: ceding remaining phases to parent "
-                  "fallback children", file=sys.stderr, flush=True)
-            return
-        if left("fidelity") > 240:
-            try:
-                # the gate licenses the HEADLINE schedule specifically
-                fid["denoise"] = run_fidelity_denoise(
-                    8, args.image, args.steps,
-                    threshold=args.ts_threshold,
-                    first_enhance=args.ts_first_enhance,
-                )
-                print(f"FIDELITY {json.dumps(fid)}", flush=True)
-            except Exception as e:
-                print(f"# fidelity denoise failed: {e!r}", file=sys.stderr,
-                      flush=True)
-            phase_gc()
-        # first train point EARLY (VERDICT r4 next #7: no train point has
-        # ever survived to a recorded bench): depth 4 full-grad
-        train_plan = [(4, False), (2, False), (8, True)]
-        if left("train") > 180:
-            tdepth, fz = train_plan.pop(0)
-            try:
-                step_s, tokens = run_train_bench(tdepth, "bf16",
-                                                 freeze_und=fz)
-                print(
-                    "TRAINPT " + json.dumps(
-                        {"depth": tdepth, "variant": "full_grad",
-                         "step_s": round(step_s, 4), "tokens": tokens}
-                    ),
-                    flush=True,
-                )
-            except Exception as e:
-                print(f"# train d{tdepth} failed: {e!r}", file=sys.stderr,
-                      flush=True)
-            phase_gc()
-        if left("serve") > 200:
-            try:
-                tok_s, total, elapsed, ttft = run_serving_bench(
-                    FULL_DEPTH, "w8a8", slots=args.slots
-                )
-                print(f"SERVE {tok_s} {total} {elapsed} {args.slots} {ttft}",
-                      flush=True)
-            except Exception as e:
-                print(f"# main serve failed: {e!r}", file=sys.stderr,
-                      flush=True)
-            phase_gc()
-        if left("serveq") > 160:
-            try:
-                # int8 KV cache: half the cache HBM unlocks 2x the slot
-                # count that OOMed at bf16 (16/24 -> RESOURCE_EXHAUSTED)
-                q_slots = 2 * args.slots
-                tok_s, total, elapsed, ttft = run_serving_bench(
-                    FULL_DEPTH, "w8a8", slots=q_slots, kv_quant=True
-                )
-                print(f"SERVEQ {tok_s} {total} {elapsed} {q_slots} {ttft}",
-                      flush=True)
-            except Exception as e:
-                print(f"# main serve kv_quant failed: {e!r}",
-                      file=sys.stderr, flush=True)
-            phase_gc()
-        if left("fidelity-retry") > 200 and "denoise" not in fid:
-            try:
-                # budget-deferred fidelity retry (still gates the headline)
-                fid["denoise"] = run_fidelity_denoise(
-                    8, args.image, args.steps,
-                    threshold=args.ts_threshold,
-                    first_enhance=args.ts_first_enhance,
-                )
-                print(f"FIDELITY {json.dumps(fid)}", flush=True)
-            except Exception as e:
-                print(f"# fidelity denoise failed: {e!r}", file=sys.stderr,
-                      flush=True)
-            phase_gc()
-        # remaining train points: depth 2 full-grad (affine depth fit),
-        # depth 8 und-frozen (deepest single-chip step; full-grad OOMs)
-        for tdepth, fz in train_plan:
-            if left("train-extra") < 160:
-                break
-            try:
-                step_s, tokens = run_train_bench(tdepth, "bf16",
-                                                 freeze_und=fz)
-                print(
-                    "TRAINPT " + json.dumps(
-                        {"depth": tdepth,
-                         "variant": "freeze_und" if fz else "full_grad",
-                         "step_s": round(step_s, 4), "tokens": tokens}
-                    ),
-                    flush=True,
-                )
-            except Exception as e:
-                print(f"# train d{tdepth} failed: {e!r}", file=sys.stderr,
-                      flush=True)
-            phase_gc()
-        if left("fidelity-decode") > 150:
-            try:
-                fid["decode"] = run_fidelity_decode(4)
-                print(f"FIDELITY {json.dumps(fid)}", flush=True)
-            except Exception as e:
-                print(f"# fidelity decode failed: {e!r}", file=sys.stderr,
-                      flush=True)
-            phase_gc()
-        if left("specdec") > 90:
-            try:
-                # speculative decode at full draft acceptance (oracle
-                # replay): upper bracket of the serving win
-                p_t, s_t, ok = run_spec_decode_bench(FULL_DEPTH, "w8a8")
-                print(f"SPECDEC {p_t} {s_t} {int(ok)}", flush=True)
-            except Exception as e:
-                print(f"# main specdecode failed: {e!r}", file=sys.stderr,
-                      flush=True)
+        # unconditional cede: after the full-depth denoise+decode pair the
+        # per-process HBM arena is a one-way ratchet — every later phase
+        # fails with instant RESOURCE_EXHAUSTED (r5 sessions 2-3, three
+        # chip runs), and the 8 GB flat-buffer probe is a FALSE NEGATIVE
+        # (it allocates fine while model builds still fail, rehearsal 4).
+        # Each doomed attempt is a server-side allocation failure that can
+        # prolong the chip's post-exit wedge, so the main child stops
+        # cleanly here; train/serve/serveq/extras belong to the parent's
+        # fresh fallback children.
+        print("# main: full-HBM pair done — ceding tail phases to parent "
+              "fallback children", file=sys.stderr, flush=True)
         return
     if args.schedule == "naive":
         times, detail = run_denoise_naive(args.depth, args.image, args.steps,
@@ -1797,22 +1715,33 @@ def main():
         # only a small aggregation tail because the fallbacks live INSIDE
         # the child ahead of the heavy phases.
         main_cap = _remaining() - 75.0
+        # RIDE OUT a slow attach instead of killing it (r5 session 3,
+        # measured on-chip): a first dispatch that hangs on a cold/wedged
+        # tunnel COMPLETES if you wait — one canary landed at 492.9 s —
+        # while killing a client mid-attach re-wedges the chip for many
+        # more minutes (the r4 death spiral: 150 s deadline -> kill ->
+        # worse wedge -> next canary stalls too). So the main canary
+        # deadline is budget-aware and generous: everything after it
+        # still fits because the in-child phases are warm-cache.
+        main_canary = max(240.0, min(600.0, _remaining() - 750.0))
         r, status = _spawn("main", FULL_DEPTH, "w8a8", image, steps,
                            args.schedule, timeout=main_cap, slots=12,
-                           ts=ts_head, canary_watch=True)
+                           ts=ts_head, canary_watch=True,
+                           canary_s=main_canary)
         while status == "canary_stall" and _remaining() > 420:
-            # single-tenant wedge clears ~5 min after the offender exits;
-            # keep retrying while the budget still covers a useful attempt
-            # (a stalled attempt only costs its canary grace, so several
-            # retries fit where one full main run would)
-            wait_s = min(300.0, _remaining() - 360.0)
+            # a stall past the generous deadline means a seriously wedged
+            # chip; give the server a short breather, then retry with
+            # whatever deadline the remaining budget affords
+            wait_s = min(120.0, max(0.0, _remaining() - 400.0))
             print(f"# chip wedged; waiting {wait_s:.0f}s for recovery, "
                   "then retrying main", file=sys.stderr)
             wedge_retry = True
             time.sleep(wait_s)
+            retry_canary = max(180.0, min(480.0, _remaining() - 420.0))
             r, status = _spawn("main", FULL_DEPTH, "w8a8", image, steps,
                                args.schedule, timeout=_remaining() - 60.0,
-                               slots=12, ts=ts_head, canary_watch=True)
+                               slots=12, ts=ts_head, canary_watch=True,
+                               canary_s=retry_canary)
         if r:
             if "elapsed" in r:
                 quant_denoise["w8a8"] = r["elapsed"]
@@ -1841,31 +1770,35 @@ def main():
                 spec_point = r
 
         def _spawn_retry(mode, depth, dtype, timeout, floor, **kw):
-            """Spawn a fallback child; a canary_stall means the chip is in
-            its ~5 min post-session wedge (observed after the main child's
-            arena dies), so wait it out and retry ONCE while the budget
-            still covers a useful attempt."""
+            """Spawn a fallback child with a budget-aware canary deadline:
+            a hung attach COMPLETES if ridden out (r5 session 3: 492.9 s
+            canary landed) while killing mid-attach re-wedges the chip —
+            so give the canary as much of the remaining budget as the
+            phase itself can spare, and retry at most once."""
+            cs = max(150.0, min(420.0, _remaining() - floor))
             r, st = _spawn(mode, depth, dtype, image, steps, args.schedule,
                            timeout=min(timeout, _remaining() - 60.0),
-                           ts=ts_head, canary_s=330.0, **kw)
-            if st == "canary_stall" and _remaining() > floor + 300:
-                wait_s = min(300.0, _remaining() - floor)
+                           ts=ts_head, canary_s=cs, **kw)
+            if st == "canary_stall" and _remaining() > floor + 240:
+                wait_s = min(120.0, _remaining() - floor)
                 print(f"# chip wedged before {mode}; waiting "
                       f"{wait_s:.0f}s for recovery", file=sys.stderr)
                 time.sleep(wait_s)
+                cs = max(150.0, min(420.0, _remaining() - floor))
                 r, st = _spawn(mode, depth, dtype, image, steps,
                                args.schedule, timeout=_remaining() - 60.0,
-                               ts=ts_head, **kw)
+                               ts=ts_head, canary_s=cs, **kw)
             return r, st
 
-        # ---- second-tier combined children for MISSING core fields, in
-        # judge-priority order (fidelity gate + train points, then serving
-        # aggregate + int8-KV): the main child cedes these on this host
-        # because its HBM arena is a one-way ratchet after the full-depth
-        # denoise+decode pair. One fresh process per FAMILY (not per
-        # phase): processes pay a 1-14 min first-dispatch tax each, and
-        # same-shape param builds inside a family reuse freed blocks.
-        if (not fidelity or not train_points) and _remaining() > 420:
+        # ---- second-tier children for MISSING core fields, in judge
+        # -priority order (train point, then fidelity gate if the main
+        # child's in-process gate was skipped, then serving aggregate +
+        # int8-KV). The main child now carries the fidelity gate BEFORE
+        # its full-HBM pair and cedes the rest, so normally only train +
+        # serving run here. One fresh process per FAMILY (not per phase):
+        # processes pay a 1-14 min first-dispatch tax each, and same-shape
+        # param builds inside a family reuse freed blocks.
+        if not fidelity and not train_points and _remaining() > 420:
             r, _ = _spawn_retry("quality", 8, "w8a8", timeout=1200,
                                 floor=420)
             if r:
@@ -1873,6 +1806,15 @@ def main():
                     fidelity = r["fidelity"]
                 if r.get("train_points"):
                     train_points = r["train_points"]
+        if not train_points and _remaining() > 300:
+            r, _ = _spawn_retry("train", 4, "bf16", timeout=1200, floor=300)
+            if r and r.get("train_points"):
+                train_points = r["train_points"]
+        if not fidelity and _remaining() > 420:
+            r, _ = _spawn_retry("fidelity", 8, "w8a8", timeout=1200,
+                                floor=420)
+            if r and "fidelity" in r:
+                fidelity = r["fidelity"]
         if ((serve_point is None or serveq_point is None)
                 and _remaining() > 330):
             r, _ = _spawn_retry("serving", FULL_DEPTH, "w8a8", timeout=900,
@@ -1882,18 +1824,6 @@ def main():
                     serve_point = r
                 if "serveq_tok_s" in r:
                     serveq_point = r
-        # ---- third-tier single-phase children for whatever is STILL
-        # missing (e.g. the quality child's arena died mid-way)
-        if not fidelity and _remaining() > 420:
-            r, _ = _spawn("fidelity", 8, "w8a8", image, steps,
-                          args.schedule, timeout=1800, ts=ts_head)
-            if r and "fidelity" in r:
-                fidelity = r["fidelity"]
-        if not train_points and _remaining() > 360:
-            r, _ = _spawn("train", 4, "bf16", image, steps, args.schedule,
-                          timeout=1200, ts=ts_head)
-            if r and r.get("train_points"):
-                train_points = r["train_points"]
         if serve_point is None and _remaining() > 330:
             r, _ = _spawn("serve", FULL_DEPTH, "w8a8", image, steps,
                           args.schedule, timeout=1200, slots=12, ts=ts_head)

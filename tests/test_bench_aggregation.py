@@ -516,10 +516,11 @@ def test_sigterm_emits_partial_json_in_real_process(tmp_path):
         # route _spawn's child command through the stub
         "real = bench._spawn\n"
         "def spawn(mode, depth, dtype, image, steps, schedule, timeout,\n"
-        "          slots=8, ts=(3,5), canary_watch=False):\n"
+        "          **kw):\n"
         f"    bench.__file__ = {str(stub)!r}\n"
+        "    kw.pop('canary_watch', None)\n"
         "    return real(mode, depth, dtype, image, steps, schedule,\n"
-        "                timeout, slots, ts, canary_watch)\n"
+        "                timeout, canary_watch=False, **kw)\n"
         "bench._spawn = spawn\n"
         "bench.main()\n"
     )
