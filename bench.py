@@ -1189,8 +1189,9 @@ def _child_main(args):
         # serving aggregate + int8-KV 2x-slots point in ONE fresh process;
         # both builds use the same full-depth w8a8 fused param shapes, so
         # the second build reuses the first's freed same-size blocks even
-        # on the ratcheting arena.
-        _wait_hbm(8.0)
+        # on the ratcheting arena. Needs the FULL working set free (~13
+        # GB): full-depth w8a8 weights + 12-24 KV slot caches.
+        _wait_hbm(13.0, deadline_s=420.0)
         try:
             tok_s, total, elapsed, ttft = run_serving_bench(
                 FULL_DEPTH, "w8a8", slots=args.slots
@@ -1262,6 +1263,21 @@ def _child_main(args):
             print(f"FLOOR {floor_ms}", flush=True)
         except Exception as e:
             print(f"# floor failed: {e!r}", file=sys.stderr, flush=True)
+        # wait for REAL capacity before any phase: dead earlier sessions'
+        # HBM is released server-side with a lag of many minutes, and a
+        # main child that starts on a partially-retained chip loses
+        # EVERYTHING heavy (r5 session 3 rehearsal: canary+d8 fit, then
+        # fidelity AND the full-depth pair all hit RESOURCE_EXHAUSTED).
+        # 13 GB ~ the full-depth w8a8 denoise working set. Fail-soft: on
+        # deadline the phases still run — some may fit.
+        t_hbm = time.monotonic()
+        if _wait_hbm(13.0, deadline_s=max(60.0, min(480.0, left() - 720.0)),
+                     poll_s=30.0):
+            print(f"HBMWAIT {time.monotonic() - t_hbm:.1f}", flush=True)
+        else:
+            print(f"# starting starved after {time.monotonic() - t_hbm:.0f}s"
+                  " hbm wait — phases will fail-soft", file=sys.stderr,
+                  flush=True)
         try:
             # cheap measured artifact FIRST: one bf16 depth-8 production
             # image at the headline schedule — the extrapolation-basis
@@ -1362,6 +1378,8 @@ def _parse_child_stdout(stdout: str, out: dict = None) -> dict:
             out["decode"] = float(line.split()[1])
         elif line.startswith("FLOOR "):
             out["dispatch_floor_ms"] = float(line.split()[1])
+        elif line.startswith("HBMWAIT "):
+            out["hbm_wait_s"] = float(line.split()[1])
         elif line.startswith("FIDELITY "):
             out["fidelity"] = json.loads(line[len("FIDELITY "):])
         elif line.startswith("TRAINPT "):
@@ -1439,6 +1457,10 @@ def build_partial_result(state: dict, image: int, steps: int,
 # forced-kill of the PARENT at any instant still yields every number a
 # child had already measured (VERDICT r4 next #1 done-criterion)
 LIVE_STATE: dict = {}
+# the currently-running child Popen (if any): the parent's signal-time
+# emitter must kill it by exact handle — an orphaned child would keep a
+# TPU client session alive past the bench and wedge whatever runs next
+_ACTIVE_CHILD: list = []
 
 
 def _spawn(mode, depth, dtype, image, steps, schedule, timeout, slots=8,
@@ -1472,6 +1494,7 @@ def _spawn(mode, depth, dtype, image, steps, schedule, timeout, slots=8,
     t0 = time.monotonic()
     proc = subprocess.Popen(cmd, stdout=subprocess.PIPE,
                             stderr=subprocess.PIPE, text=True, env=env)
+    _ACTIVE_CHILD.append(proc)
     lines: list = []
     errs: list = []
 
@@ -1518,6 +1541,10 @@ def _spawn(mode, depth, dtype, image, steps, schedule, timeout, slots=8,
     try:
         proc.wait(timeout=30)
     except Exception:
+        pass
+    try:
+        _ACTIVE_CHILD.remove(proc)
+    except ValueError:
         pass
     t_out.join(timeout=10)
     t_err.join(timeout=10)
@@ -1636,7 +1663,7 @@ def main():
         serve_point = serveq_point = None
         spec_point = None
         fidelity = {}
-        floor_ms = canary_s = None
+        floor_ms = canary_s = hbm_wait_s = None
         qdetail = {}
         parity_point = None
         wedge_retry = False
@@ -1672,7 +1699,7 @@ def main():
         serve_point = serveq_point = None
         spec_point = None
         fidelity = {}
-        floor_ms = canary_s = None
+        floor_ms = canary_s = hbm_wait_s = None
         headline_runs = None
         qdetail = {}
         parity_point = None
@@ -1700,6 +1727,14 @@ def main():
         import signal as _signal
 
         def _emit_from_live(signum, frame):
+            # kill the running child by exact handle first: an orphaned
+            # child keeps a TPU client session alive past the bench and
+            # wedges whatever the driver runs next
+            for p in list(_ACTIVE_CHILD):
+                try:
+                    p.kill()
+                except Exception:
+                    pass
             print(json.dumps(build_partial_result(
                 dict(LIVE_STATE), image, steps, signum)), flush=True)
             os._exit(0)
@@ -1754,6 +1789,8 @@ def main():
                 parity_point = r["parity_point"]
             if "canary_s" in r:
                 canary_s = r["canary_s"]
+            if "hbm_wait_s" in r:
+                hbm_wait_s = r["hbm_wait_s"]
             if "decode" in r:
                 quant_decode["w8a8"] = r["decode"]
             if "fidelity" in r:
@@ -2002,6 +2039,8 @@ def main():
         }
     if canary_s is not None:
         result["detail"]["canary_first_dispatch_s"] = round(canary_s, 1)
+    if hbm_wait_s is not None:
+        result["detail"]["hbm_release_wait_s"] = round(hbm_wait_s, 1)
     if wedge_retry:
         result["detail"]["chip_wedge_retry"] = True
     if dtype == "w8a8" and qdetail and elapsed:

@@ -383,6 +383,91 @@ def test_ratcheted_main_child_fills_core_fields_via_fallbacks(
     assert "fidelity" not in modes and "train" not in modes
 
 
+def test_main_child_fidelity_skips_quality_child(monkeypatch, capsys):
+    """r5 session 3 contract: the main child carries the fidelity gate
+    in-process (before its full-HBM pair), so when it lands, the parent
+    must NOT spawn the quality child — only the single-phase train child
+    and the serving family are still missing."""
+    fid = {"denoise": {"latent_rel_mae": 0.005, "rel_mae_gate_1e-2": True,
+                       "comparison_live": True}}
+    res = run_main_with_fake_spawn(
+        monkeypatch, capsys,
+        {
+            ("main", 28, "w8a8"): {"elapsed": 12.0, "decode": 96.0,
+                                   "elapsed8": 4.6, "fidelity": fid},
+            ("train", 4, "bf16"): {"train_points": [
+                {"depth": 4, "variant": "full_grad", "step_s": 0.99,
+                 "tokens": 4352}]},
+            ("serving", 28, "w8a8"): {
+                "serve_tok_s": 430.0, "serve_tokens": 1536,
+                "serve_elapsed": 3.5, "serve_slots": 12,
+                "serveq_tok_s": 610.0, "serveq_tokens": 3072,
+                "serveq_elapsed": 5.0, "serveq_slots": 24},
+        },
+    )
+    d = res["detail"]
+    assert d["fidelity"] == fid
+    assert d["train_fwd_bwd"]["points"][0]["depth"] == 4
+    modes = [c[0] for c in res["_spawn_calls"]]
+    assert modes[:3] == ["main", "train", "serving"]
+    assert "quality" not in modes and "fidelity" not in modes
+
+
+def test_main_child_runs_fidelity_before_full_depth_pair(monkeypatch,
+                                                         capsys):
+    """Child-side structural pin (r5 session 3): in mode=main the
+    fidelity gate runs BEFORE the full-depth denoise+decode pair (the
+    per-process arena is a one-way ratchet after that pair), and the
+    child attempts NO train/serve phases — it cedes unconditionally."""
+    order = []
+
+    monkeypatch.setattr(bench, "run_canary", lambda *a, **k: 1.0)
+    monkeypatch.setattr(bench, "measure_dispatch_floor",
+                        lambda *a, **k: 28.0)
+    monkeypatch.setattr(bench, "_wait_hbm", lambda *a, **k: True)
+
+    def fake_denoise(depth, image, steps, dtype, repeats=1,
+                     schedules=((5, 5),)):
+        order.append(("denoise", depth, dtype))
+        return ([[12.0] * repeats] * len(schedules),
+                [{"schedule": s} for s in schedules])
+
+    def fake_fidelity(depth, image, steps, threshold=3, first_enhance=5):
+        order.append(("fidelity", depth, "w8a8"))
+        return {"latent_rel_mae": 0.005, "rel_mae_gate_1e-2": True}
+
+    def fake_decode(depth, dtype, **kw):
+        order.append(("decode", depth, dtype))
+        return 96.0
+
+    def boom(*a, **k):  # any train/serve attempt in-child is the bug
+        raise AssertionError("main child must cede train/serve phases")
+
+    monkeypatch.setattr(bench, "run_denoise_production", fake_denoise)
+    monkeypatch.setattr(bench, "run_fidelity_denoise", fake_fidelity)
+    monkeypatch.setattr(bench, "run_decode_bench", fake_decode)
+    monkeypatch.setattr(bench, "run_train_bench", boom)
+    monkeypatch.setattr(bench, "run_serving_bench", boom)
+    monkeypatch.setattr(bench, "run_spec_decode_bench", boom)
+    monkeypatch.setattr(bench, "run_fidelity_decode", boom)
+
+    import argparse
+
+    args = argparse.Namespace(mode="main", depth=28, dtype="w8a8",
+                              image=1024, steps=50, schedule="production",
+                              slots=12, kv_quant=False, ts_threshold=5,
+                              ts_first_enhance=5, preset="full")
+    monkeypatch.setenv("BAGEL_BENCH_CHILD_BUDGET_S", "1400")
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    bench._child_main(args)
+    out = capsys.readouterr().out
+    assert "FIDELITY" in out and "ELAPSED " in out and "DECODE" in out
+    kinds = [(k, d) for k, d, _ in order]
+    # fidelity (d8) strictly before the full-depth denoise, decode last
+    assert kinds.index(("fidelity", 8)) < kinds.index(("denoise", 28))
+    assert kinds[-1] == ("decode", 28)
+
+
 def test_quality_child_canary_stall_retries_once(monkeypatch, capsys):
     """A canary-stalled combined child is the chip's ~5 min post-session
     wedge, not a missing capability: the parent must wait and retry once,
