@@ -1758,16 +1758,22 @@ def main():
         # worse wedge -> next canary stalls too). So the main canary
         # deadline is budget-aware and generous: everything after it
         # still fits because the in-child phases are warm-cache.
-        main_canary = max(240.0, min(600.0, _remaining() - 750.0))
+        # warm-cache phases need ~600 s worst-case; give the canary ALL
+        # the remaining slack — riding out a slow attach is the only
+        # policy that has ever landed on a wedged chip (492.9 s observed;
+        # a 600 s stall observed after a kill-spiral), while every kill
+        # deepens the wedge
+        main_canary = max(240.0, min(850.0, _remaining() - 600.0))
         r, status = _spawn("main", FULL_DEPTH, "w8a8", image, steps,
                            args.schedule, timeout=main_cap, slots=12,
                            ts=ts_head, canary_watch=True,
                            canary_s=main_canary)
         while status == "canary_stall" and _remaining() > 420:
             # a stall past the generous deadline means a seriously wedged
-            # chip; give the server a short breather, then retry with
-            # whatever deadline the remaining budget affords
-            wait_s = min(120.0, max(0.0, _remaining() - 400.0))
+            # chip; breathe 300 s (the only wait that has ever preceded a
+            # successful retry — r4: stall, 300 s wait, 87 s canary), then
+            # retry with whatever deadline the remaining budget affords
+            wait_s = min(300.0, max(0.0, _remaining() - 400.0))
             print(f"# chip wedged; waiting {wait_s:.0f}s for recovery, "
                   "then retrying main", file=sys.stderr)
             wedge_retry = True
