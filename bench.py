@@ -537,24 +537,33 @@ def measure_dispatch_floor(n: int = 24) -> float:
 
 
 def _hbm_alive(gb: float = 3.5) -> bool:
-    """Empirical free-HBM probe: try allocating `gb` GB in one buffer and
-    free it. On this tunneled axon backend memory_stats() reports 0 bytes
-    regardless of state, and after the full-depth denoise+decode pair the
-    per-process arena is a one-way ratchet (r5 session 2: every later
-    phase fails instant RESOURCE_EXHAUSTED despite live_arrays()=[] and
-    clear_caches()) — so an actual allocation attempt is the only honest
-    detector. Costs ~1 s when memory is available, fails fast when not."""
+    """Empirical free-HBM probe: allocate `gb` GB as ~128 MB buffers and
+    free them. On this tunneled axon backend memory_stats() reports 0
+    bytes regardless of state, and after the full-depth denoise+decode
+    pair the per-process arena is a one-way ratchet (r5 session 2: every
+    later phase fails instant RESOURCE_EXHAUSTED despite live_arrays()=[]
+    and clear_caches()) — so an actual allocation attempt is the only
+    honest detector. MANY medium buffers, not one flat block: the probe
+    must match the allocation pattern of a real param build (r5 session
+    3: a 6-8 GB single-buffer probe succeeds while the many-buffer model
+    build right after it still RESOURCE_EXHAUSTs — a flat block both
+    false-negatives the check and risks leaving an unusable high-water
+    block in the ratcheting arena)."""
     import jax.numpy as jnp
 
+    n = max(1, int(gb * 8))  # 128 MB chunks
+    bufs = []
     try:
-        x = jnp.zeros((int(gb * 1e9 / 2),), jnp.bfloat16)
-        np.asarray(x[:1])  # sync: surface the async RESOURCE_EXHAUSTED
-        del x
+        for _ in range(n):
+            bufs.append(jnp.zeros((64, 1024, 1024), jnp.bfloat16))
+        np.asarray(bufs[-1][0, 0, :1])  # sync: surface the async failure
         return True
     except Exception as e:
-        print(f"# hbm probe ({gb:.1f} GB) failed: {type(e).__name__}",
-              file=sys.stderr, flush=True)
+        print(f"# hbm probe ({gb:.1f} GB x128MB) failed: "
+              f"{type(e).__name__}", file=sys.stderr, flush=True)
         return False
+    finally:
+        del bufs
 
 
 def _wait_hbm(gb: float = 8.0, deadline_s: float = 300.0,
